@@ -1,0 +1,209 @@
+"""Canonical trainer CLI: VQVAE-2 + Conv3D latents + LPIPS perceptual loss.
+
+Flag-compatible with the reference entry point
+(reference train_faceoff_perceptual.py:210-253):
+
+    python -m faceoff_tpu.cli.train_faceoff_perceptual \
+        --data_root /path/to/dataset --batch_size 1 --lr 3e-4 --sched cycle
+        [--test] [--crossid] [--custom_validation --validation_folder DIR]
+        [--colorjit const|random] [--gray] [--ckpt STEP]
+
+Differences by design: no --n_gpu/--dist_url (a single process drives all
+chips through the mesh); --batch_size counts clips per *device*;
+checkpoints are orbax directories holding full train state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import random
+import string
+
+import jax
+import jax.numpy as jnp
+
+from faceoff_tpu import config as config_lib
+from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+from faceoff_tpu.data.pipeline import DataLoader
+from faceoff_tpu.models import VQVAE
+from faceoff_tpu.models.lpips import init_lpips
+from faceoff_tpu.parallel import make_mesh
+from faceoff_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from faceoff_tpu.train.state import make_optimizer
+from faceoff_tpu.train.trainer import Trainer, run_validation
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="clips per device per step")
+    p.add_argument("--size", type=int, default=256, help="image resolution")
+    p.add_argument("--epoch", type=int, default=560)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--sched", type=str, default="")
+    p.add_argument("--validate_at", type=int, default=1024)
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint step to resume (or 'latest')")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--gray", action="store_true")
+    p.add_argument("--colorjit", type=str, default="",
+                   help="const or random or empty")
+    p.add_argument("--crossid", action="store_true")
+    p.add_argument("--custom_validation", action="store_true")
+    p.add_argument("--sample_folder", type=str, default="samples")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoint")
+    p.add_argument("--validation_folder", type=str, default=None)
+    p.add_argument("--train_frames", type=int, default=30)
+    p.add_argument("--val_frames", type=int, default=50)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--lpips_weights", type=str, default=None,
+                   help=".npz from tools/convert_lpips.py")
+    p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def random_run_name(n: int = 5) -> str:
+    """Run-name suffix (reference train_faceoff_perceptual.py:206-208)."""
+    return "".join(random.choices(string.ascii_lowercase + string.digits, k=n))
+
+
+def build_everything(args):
+    cfg = config_lib.Config(
+        model=config_lib.ModelConfig(use_pallas_vq=not args.no_pallas),
+        data=config_lib.DataConfig(
+            data_root=args.data_root,
+            resolution=args.size,
+            train_frames=args.train_frames,
+            val_frames=args.val_frames,
+            batch_clips=args.batch_size,
+            color_jitter=args.colorjit,
+            grayscale=args.gray,
+            num_workers=args.num_workers,
+        ),
+        train=config_lib.TrainConfig(
+            lr=args.lr,
+            epochs=args.epoch,
+            validate_at=args.validate_at,
+            sched=args.sched,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+            sample_folder=args.sample_folder,
+        ),
+    )
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = VQVAE(
+        in_channels=cfg.model.in_channels,
+        channel=cfg.model.channel,
+        n_res_block=cfg.model.n_res_block,
+        n_res_channel=cfg.model.n_res_channel,
+        embed_dim=cfg.model.embed_dim,
+        n_embed=cfg.model.n_embed,
+        decay=cfg.model.vq_decay,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=cfg.model.use_pallas_vq and on_tpu,
+    )
+
+    train_ds = TemporalAlignmentDataset(
+        args.data_root,
+        "train",
+        cfg.data.train_frames,
+        resolution=args.size,
+        color_jitter_type=args.colorjit,
+        grayscale=args.gray,
+    )
+    val_root = args.validation_folder or args.data_root
+    val_ds = TemporalAlignmentDataset(
+        val_root,
+        "val",
+        cfg.data.val_frames,
+        resolution=args.size,
+        color_jitter_type=args.colorjit,
+        cross_identity=args.crossid,
+        grayscale=args.gray,
+        custom_validation_source=(
+            args.data_root if args.custom_validation else None
+        ),
+    )
+    train_loader = DataLoader(
+        train_ds,
+        batch_clips=args.batch_size * n_dev,
+        num_workers=args.num_workers,
+        seed=args.seed,
+    )
+    val_loader = DataLoader(
+        val_ds, batch_clips=n_dev, shuffle=False,
+        num_workers=args.num_workers, seed=args.seed,
+    )
+
+    sample = jnp.zeros(
+        (n_dev, 2, args.size, args.size, cfg.model.in_channels), jnp.float32
+    )
+    steps_per_epoch = max(len(train_loader), 1)
+    tx = make_optimizer(
+        args.lr, args.sched, n_iter=steps_per_epoch * args.epoch,
+        warmup_proportion=0.05,
+    )
+    state = create_train_state(model, jax.random.key(args.seed), sample, tx=tx)
+
+    lpips_model, lpips_vars = init_lpips(
+        jax.random.key(args.seed + 1),
+        image_size=args.size,
+        weights_npz=args.lpips_weights,
+    )
+    lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
+
+    train_step = make_train_step(
+        model,
+        latent_loss_weight=cfg.train.latent_loss_weight,
+        perceptual_loss_weight=cfg.train.perceptual_loss_weight,
+        lpips_apply=lpips_apply,
+    )
+    eval_step = make_eval_step(model)
+
+    trainer = Trainer(
+        cfg, model, state, train_step, eval_step, train_loader, val_loader,
+        lpips_vars=lpips_vars, mesh=mesh,
+    )
+    return trainer, cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    run = random_run_name()
+    args.sample_folder = f"{args.sample_folder}_{run}"
+    args.checkpoint_dir = f"{args.checkpoint_dir}_{run}" if not args.ckpt else args.checkpoint_dir
+    print(args, flush=True)
+
+    trainer, cfg = build_everything(args)
+    if args.ckpt:
+        step = None if args.ckpt == "latest" else int(args.ckpt)
+        trainer.resume(step)
+
+    if args.test:
+        run_validation(
+            trainer.eval_step,
+            trainer.state,
+            trainer.val_loader,
+            cfg.train.sample_folder,
+            epoch=0,
+            step=0,
+            mesh=trainer.mesh,
+        )
+    else:
+        trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,308 @@
+"""Video dataset with on-the-fly perturbation — the training data engine.
+
+Behavioural port of reference TemporalAlignment/dataset.py:210-420 with an
+explicit on-disk contract (the reference leaves it implicit, SURVEY §3.5):
+
+    <root>/<video_id>/
+        00000.jpg | 00000.png        frames (any resolution; resized+padded
+                                     to 256x256 on load)
+        00000_landmarks.npz          key 'landmark': (68, 2) float pixel
+                                     coords on the *resized* 256x256 frame
+
+Item modes (reference dataset.py:280-292):
+  * self-supervised train (`jitter`): segment the video's own face hull,
+    perturb it, learn to reconstruct the original frame;
+  * cross-identity validation: warp a random other video's face onto this
+    video's frames;
+  * custom validation: a fixed (source video, target video) pair;
+  * alignment: returns the negated ground-truth transform amounts for the
+    alignment-regression head.
+
+All arrays are channels-last float32 in [-1, 1] of shape (T, H, W, C).
+Randomness is explicit per call (numpy Generator) for reproducibility.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from faceoff_tpu.data import geometry, perturbations
+
+
+def _frame_index(path: str) -> int:
+    return int(osp.basename(path).split("_")[0])
+
+
+def list_videos(root: str, min_landmark_files: int = 3) -> List[str]:
+    """Discover video directories with enough landmark files
+    (reference dataset.py:190-208 filters on landmark counts)."""
+    videos = []
+    for d in sorted(glob(osp.join(root, "*"))):
+        if not osp.isdir(d):
+            continue
+        n = len(glob(osp.join(d, "*_landmarks.npz")))
+        if n > min_landmark_files:
+            videos.append(d)
+    return videos
+
+
+def _landmark_paths(video_dir: str) -> List[str]:
+    return sorted(
+        glob(osp.join(video_dir, "*_landmarks.npz")), key=_frame_index
+    )
+
+
+def _image_for_landmark(lm_path: str) -> str:
+    stem = lm_path.rsplit("_", 1)[0]
+    for ext in (".jpg", ".png"):
+        if osp.exists(stem + ext):
+            return stem + ext
+    raise FileNotFoundError(f"no frame image for {lm_path}")
+
+
+def load_frame(lm_path: str, resolution: int = 256):
+    """Load (resized frame uint8 RGB, landmarks (68,2))."""
+    import cv2
+
+    img = cv2.imread(_image_for_landmark(lm_path), cv2.IMREAD_COLOR)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    img = geometry.resize_frame(img, resolution)
+    lms = np.load(lm_path, allow_pickle=True)["landmark"]
+    return img, np.asarray(lms, np.float32)
+
+
+def normalize(img: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1,1] (reference dataset.py:244-247)."""
+    return img.astype(np.float32) / 127.5 - 1.0
+
+
+def denormalize(img: np.ndarray) -> np.ndarray:
+    return np.clip(np.rint((img + 1.0) * 127.5), 0, 255).astype(np.uint8)
+
+
+def to_grayscale3(img: np.ndarray) -> np.ndarray:
+    """Luma grayscale replicated to 3 channels (reference --gray flag,
+    dataset.py:237-241)."""
+    gray = (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    ).astype(img.dtype)
+    return np.stack([gray] * 3, axis=-1)
+
+
+def color_jitter(
+    img: np.ndarray, brightness: float, saturation: float
+) -> np.ndarray:
+    """Brightness/saturation jitter on uint8 RGB (reference dataset.py:252-257:
+    ColorJitter(brightness=(1.0,1.5), saturation=(1.0,1.5)))."""
+    out = img.astype(np.float32) * brightness
+    gray = (
+        0.299 * out[..., 0] + 0.587 * out[..., 1] + 0.114 * out[..., 2]
+    )[..., None]
+    out = gray + saturation * (out - gray)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+class TemporalAlignmentDataset:
+    """See module docstring. `mode` in {'train', 'val'}."""
+
+    def __init__(
+        self,
+        root: str,
+        mode: str,
+        max_frame_len: int,
+        *,
+        resolution: int = 256,
+        color_jitter_type: str = "",
+        cross_identity: bool = False,
+        grayscale: bool = False,
+        custom_validation_source: Optional[str] = None,
+        hull_start: int = 17,
+        hull_end: int = 67,
+        mask_enlargement: int = 10,
+        min_landmark_files: int = 3,
+    ):
+        self.mode = mode
+        self.max_len = max_frame_len
+        self.resolution = resolution
+        self.cross_identity = cross_identity
+        self.grayscale = grayscale
+        self.hull_slice = slice(hull_start, hull_end)
+        self.mask_enlargement = mask_enlargement
+        # cross-id disables colour jitter (reference dataset.py:227-228)
+        self.color_jitter_type = "" if cross_identity else color_jitter_type
+
+        self.videos = list_videos(root, min_landmark_files)
+        if not self.videos:
+            raise FileNotFoundError(f"no usable videos under {root}")
+
+        self.source_videos: Optional[List[str]] = None
+        if custom_validation_source is not None:
+            self.source_videos = list_videos(
+                custom_validation_source, min_landmark_files
+            )
+
+    def __len__(self) -> int:
+        return len(self.videos)
+
+    # -- frame-window sampling -------------------------------------------
+
+    def _sample_window(
+        self, paths: Sequence[str], rng: np.random.Generator, start: Optional[int] = None
+    ) -> Sequence[str]:
+        if start is None:
+            hi = max(5, len(paths) - self.max_len - 1)
+            start = int(rng.integers(0, hi + 1))
+        return paths[start: start + self.max_len]
+
+    # -- self-supervised item (reference dataset.py:356-375) -------------
+
+    def get_item_jitter(
+        self, index: int, rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        video_dir = self.videos[index]
+        window = self._sample_window(_landmark_paths(video_dir), rng)
+        if not window:
+            raise RuntimeError(f"empty video dir {video_dir}")
+
+        if self.color_jitter_type == "const":
+            b = float(rng.uniform(1.0, 1.5))
+            s = float(rng.uniform(1.0, 1.5))
+
+        sources, backgrounds, originals = [], [], []
+        for lm_path in window:
+            img, lms = load_frame(lm_path, self.resolution)
+            if self.grayscale:
+                img = to_grayscale3(img)
+            mask = geometry.convex_hull_mask(img.shape, lms[self.hull_slice])
+            face = geometry.apply_mask(mask, img)
+            background = geometry.apply_mask(255 - mask, img)
+            perturbed, _ = perturbations.perturb_image_composite(face, lms, rng)
+
+            if self.color_jitter_type == "random":
+                perturbed = color_jitter(
+                    perturbed, float(rng.uniform(1.0, 1.5)),
+                    float(rng.uniform(1.0, 1.5)),
+                )
+            elif self.color_jitter_type == "const":
+                perturbed = color_jitter(perturbed, b, s)
+
+            sources.append(normalize(perturbed))
+            backgrounds.append(normalize(background))
+            originals.append(normalize(img))
+
+        return {
+            "source": np.stack(sources),
+            "background": np.stack(backgrounds),
+            "gt": np.stack(originals),
+        }
+
+    # -- alignment-regression item (reference dataset.py:377-397) --------
+
+    def get_item_alignment(
+        self, index: int, rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        video_dir = self.videos[index]
+        window = self._sample_window(_landmark_paths(video_dir), rng)
+        sources, backgrounds, originals, gts = [], [], [], []
+        for lm_path in window:
+            img, lms = load_frame(lm_path, self.resolution)
+            mask = geometry.convex_hull_mask(img.shape, lms[self.hull_slice])
+            face = geometry.apply_mask(mask, img)
+            background = geometry.apply_mask(255 - mask, img)
+            perturbed, gt_t = perturbations.perturb_image_composite(
+                face, lms, rng
+            )
+            sources.append(normalize(perturbed))
+            backgrounds.append(normalize(background))
+            originals.append(normalize(img))
+            # regress the inverse of the applied transform
+            gts.append(
+                [
+                    -gt_t["rotate_image"],
+                    -gt_t["translate_horizontal"],
+                    -gt_t["translate_vertical"],
+                ]
+            )
+        return {
+            "source": np.stack(sources),
+            "background": np.stack(backgrounds),
+            "gt": np.stack(originals),
+            "transforms": np.asarray(gts, np.float32),
+        }
+
+    # -- cross-identity item (reference dataset.py:341-354) --------------
+
+    def get_item_cross_identity(
+        self,
+        index: int,
+        rng: np.random.Generator,
+        target_index: Optional[int] = None,
+        keep_same_index: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        source_dir = self.videos[index]
+        if self.source_videos is not None:
+            # custom validation: paired lists (reference dataset.py:298-316)
+            target_dir = self.source_videos[index % len(self.source_videos)]
+        elif target_index is not None:
+            target_dir = self.videos[target_index]
+        else:
+            target_dir = self.videos[int(rng.integers(0, len(self.videos)))]
+
+        src_paths = _landmark_paths(source_dir)
+        tgt_paths = _landmark_paths(target_dir)
+        if keep_same_index or self.source_videos is not None:
+            s0 = t0 = 0
+        else:
+            s0 = int(rng.integers(0, max(5, len(src_paths) - self.max_len - 1) + 1))
+            t0 = int(rng.integers(0, max(5, len(tgt_paths) - self.max_len - 1) + 1))
+        src_w = src_paths[s0: s0 + self.max_len]
+        tgt_w = tgt_paths[t0: t0 + self.max_len]
+        n = min(len(src_w), len(tgt_w))
+        src_w, tgt_w = src_w[:n], tgt_w[:n]
+
+        sources, target_bgs, targets, src_imgs = [], [], [], []
+        for sp, tp in zip(src_w, tgt_w):
+            s_img, s_lms = load_frame(sp, self.resolution)
+            t_img, t_lms = load_frame(tp, self.resolution)
+            out = geometry.generate_warped_image(
+                s_lms, t_lms, s_img, t_img,
+                enlargement=self.mask_enlargement,
+            )
+            sources.append(normalize(out["source_face_transformed"]))
+            targets.append(normalize(out["target_image"]))
+            target_bgs.append(normalize(out["target_without_face_features"]))
+            src_imgs.append(normalize(out["source_image"]))
+
+        return {
+            "source": np.stack(sources),
+            "background": np.stack(target_bgs),
+            "gt": np.stack(targets),
+            "source_original": np.stack(src_imgs),
+        }
+
+    # -- dispatch (reference dataset.py:280-292) -------------------------
+
+    def __getitem__(self, index: int, rng=None) -> Dict[str, np.ndarray]:
+        return self.get_item(index, rng or np.random.default_rng(index))
+
+    def get_item(self, index: int, rng: np.random.Generator):
+        if self.cross_identity or self.source_videos is not None:
+            return self.get_item_cross_identity(index, rng)
+        return self.get_item_jitter(index, rng)
+
+
+def pack_batch(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-clip dicts into (B, T, H, W, C) arrays and build the
+    6-channel model input (reference utils.py:29-38 process_data)."""
+    source = np.stack([it["source"] for it in items])
+    background = np.stack([it["background"] for it in items])
+    gt = np.stack([it["gt"] for it in items])
+    return {
+        "input": np.concatenate([source, background], axis=-1),
+        "gt": gt,
+    }

@@ -1,0 +1,102 @@
+"""Prefetching data loader.
+
+The reference starves its GPUs with batch_size=1 and 2 workers
+(reference utils.py:69-81, SURVEY §7 "hard parts"). Here clips are
+assembled by a thread pool of CPU workers (the heavy lifting is
+cv2/numpy, which release the GIL) and staged into a bounded prefetch
+queue so the accelerator never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from faceoff_tpu.data.dataset import TemporalAlignmentDataset, pack_batch
+
+
+class DataLoader:
+    """Iterate batches of `batch_clips` clips, each worker seeded
+    deterministically from (epoch, clip index)."""
+
+    def __init__(
+        self,
+        dataset: TemporalAlignmentDataset,
+        batch_clips: int = 1,
+        *,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+        pack: Callable = pack_batch,
+    ):
+        self.dataset = dataset
+        self.batch_clips = batch_clips
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.pack = pack
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return max(1, len(self.dataset) // self.batch_clips)
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_order()
+        n_batches = len(self)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def load_clip(epoch: int, pos: int) -> Dict[str, np.ndarray]:
+            idx = int(order[pos % len(order)])
+            rng = np.random.default_rng(
+                (self.seed * 1_000_003 + epoch) * 1_000_003 + pos
+            )
+            return self.dataset.get_item(idx, rng)
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    futures = []
+                    for b in range(n_batches):
+                        for c in range(self.batch_clips):
+                            futures.append(
+                                pool.submit(
+                                    load_clip,
+                                    self.epoch,
+                                    b * self.batch_clips + c,
+                                )
+                            )
+                    for b in range(n_batches):
+                        items = [
+                            futures[b * self.batch_clips + c].result()
+                            for c in range(self.batch_clips)
+                        ]
+                        out_q.put(self.pack(items))
+            except Exception as e:  # surface worker errors to the consumer
+                out_q.put(e)
+            finally:
+                out_q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        thread.join()
+        self.epoch += 1

@@ -1,0 +1,58 @@
+"""Orbax checkpointing of the full train state.
+
+The reference saves only the model weights and silently loses the
+optimizer, scheduler and step on resume (reference
+train_faceoff_perceptual.py:140-143,178-185; SURVEY §5). Here the entire
+`TrainState` pytree (params, EMA codebooks, optimizer state, step)
+round-trips, so `--ckpt` resume is exact.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, create=True, enable_async_checkpointing=False
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(_savable(state)))
+        self._mgr.wait_until_finished()
+
+    def restore(self, state: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure of `state` (which supplies shapes,
+        dtypes and static fields)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(_savable(state))
+        )
+        return state.replace(**restored)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def _savable(state: Any) -> dict:
+    """The pytree fields of TrainState (tx is static and not saved)."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "vq": state.vq,
+        "opt_state": state.opt_state,
+    }

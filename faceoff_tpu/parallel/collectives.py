@@ -1,0 +1,50 @@
+"""Process-level distributed helpers.
+
+The reference wraps torch.distributed with rank/world helpers and a
+pickle-based object all_gather (reference distributed/distributed.py:1-143).
+In JAX the host side only needs process identity — all tensor collectives
+live inside compiled programs (psum / automatic sharding) — so this module
+is deliberately thin. Metric aggregation is numeric `psum` inside the train
+step; no pickle path exists because none is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host initialization (no-op on a single host).
+
+    Mirrors the role of dist.launch + init_process_group (reference
+    distributed/launch.py:52-92) for multi-host TPU pods.
+    """
+    if jax.process_count() > 1 or kwargs:
+        jax.distributed.initialize(**kwargs)
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on the process that should write checkpoints/samples
+    (reference distributed/distributed.py:25-27)."""
+    return jax.process_index() == 0
+
+
+def all_reduce_mean(x: jnp.ndarray, axis_name: str = "data") -> jnp.ndarray:
+    """Mean over a mesh axis — usable inside shard_map'd code."""
+    return jax.lax.pmean(x, axis_name)
+
+
+def synchronize() -> None:
+    """Barrier across devices (reference distributed/distributed.py:42-52)."""
+    jax.block_until_ready(
+        jax.device_put(jnp.zeros(()), jax.devices()[0]) + 0
+    )

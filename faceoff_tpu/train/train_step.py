@@ -1,0 +1,109 @@
+"""Jitted train/eval steps for the perceptual trainer.
+
+One fused XLA program per optimization step: forward (including the VQ EMA
+codebook update), losses, backward, optimizer — the reference splits this
+across model forward, three loss modules, loss.backward() and DDP hooks
+(reference train_faceoff_perceptual.py:32-48,84-133). Under a sharded mesh
+the gradient and codebook-statistics reductions are inserted by XLA.
+
+Batch contract (all float32, channels-last, values in [-1, 1]):
+  input: (B, T, H, W, 6)  — source-face composite || target background
+          (reference utils.py:29-38 builds this 6-channel conditioning)
+  gt:    (B, T, H, W, 3)  — original frames to reconstruct
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from faceoff_tpu.ops import video as video_ops
+from faceoff_tpu.losses import mse_loss
+from faceoff_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    *,
+    latent_loss_weight: float = 1.0,
+    perceptual_loss_weight: float = 1.0,
+    lpips_apply: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    lpips_apply: optional `(lpips_vars, target_frames, pred_frames) -> scalar`
+    callable; when given, the step takes the frozen LPIPS variables as a
+    third argument (loss weights per reference config.py:4-6,
+    train_faceoff_perceptual.py:98).
+    """
+
+    def loss_fn(params, vq, batch, lpips_vars):
+        (dec, latent_loss), updates = model.apply(
+            {"params": params, "vq": vq},
+            batch["input"],
+            train=True,
+            mutable=["vq"],
+        )
+        out = dec[..., :3]
+        gt = batch["gt"]
+        recon_loss = mse_loss(out, gt)
+
+        if lpips_apply is not None:
+            perceptual = lpips_apply(
+                lpips_vars, video_ops.fold_time(gt), video_ops.fold_time(out)
+            )
+        else:
+            perceptual = jnp.zeros((), jnp.float32)
+
+        loss = (
+            recon_loss
+            + latent_loss_weight * latent_loss
+            + perceptual_loss_weight * perceptual
+        )
+        metrics = {
+            "loss": loss,
+            "mse": recon_loss,
+            "latent": latent_loss,
+            "perceptual": perceptual,
+        }
+        return loss, (updates["vq"], metrics)
+
+    donate_argnums = (0,) if donate else ()
+
+    @partial(jax.jit, donate_argnums=donate_argnums)
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], lpips_vars: Any = None
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_vq, metrics)), grads = grad_fn(
+            state.params, state.vq, batch, lpips_vars
+        )
+        new_state = state.apply_gradients(grads, new_vq)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Validation forward: returns reconstruction + metrics, no mutation
+    (reference train_faceoff_perceptual.py:53-79 validation path)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        dec, latent_loss = model.apply(
+            {"params": state.params, "vq": state.vq},
+            batch["input"],
+            train=False,
+        )
+        out = dec[..., :3]
+        metrics = {
+            "mse": mse_loss(out, batch["gt"]),
+            "latent": latent_loss,
+        }
+        return out, metrics
+
+    return eval_step

@@ -1,0 +1,183 @@
+"""Training orchestrator for the perceptual trainer.
+
+The loop of reference train_faceoff_perceptual.py:84-204 re-built around
+jitted steps: per-step metrics come back as device scalars already reduced
+over the mesh; validation writes the five mp4 streams the reference does
+(source/background/prediction/gt/source_original,
+reference train_faceoff_perceptual.py:53-79); checkpoints carry the full
+train state at the `validate_at` cadence.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from faceoff_tpu import config as config_lib
+from faceoff_tpu.data.dataset import denormalize
+from faceoff_tpu.io.checkpoint import CheckpointManager
+from faceoff_tpu.io.video import save_frames_as_video
+from faceoff_tpu.parallel import is_primary, make_mesh, shard_batch
+from faceoff_tpu.train.state import current_lr
+
+
+class MetricLogger:
+    """Running scalar aggregation + console line (replaces the reference's
+    tqdm bar + pickle all_gather of mse sums,
+    train_faceoff_perceptual.py:113-133)."""
+
+    def __init__(self):
+        self.mse_sum = 0.0
+        self.mse_n = 0
+        self.perceptual = []
+
+    def update(self, metrics: Dict[str, Any], frames: int):
+        self.mse_sum += float(metrics["mse"]) * frames
+        self.mse_n += frames
+        if "perceptual" in metrics:
+            self.perceptual.append(float(metrics["perceptual"]))
+
+    @property
+    def avg_mse(self) -> float:
+        return self.mse_sum / max(self.mse_n, 1)
+
+    def line(self, epoch: int, metrics: Dict[str, Any], lr: float) -> str:
+        perc = np.mean(self.perceptual) if self.perceptual else 0.0
+        return (
+            f"epoch: {epoch + 1}; mse: {float(metrics['mse']):.5f}; "
+            f"perceptual: {perc:.3f} latent: {float(metrics['latent']):.3f}; "
+            f"avg mse: {self.avg_mse:.5f}; lr: {lr:.5f}"
+        )
+
+
+def run_validation(
+    eval_step,
+    state,
+    val_loader: Iterable,
+    sample_folder: str,
+    epoch: int,
+    step: int,
+    mesh=None,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Write the five validation mp4 streams per batch
+    (reference train_faceoff_perceptual.py:53-79) and return mean metrics."""
+    os.makedirs(sample_folder, exist_ok=True)
+    mses = []
+    for i, batch in enumerate(val_loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        extra = {
+            k: batch.pop(k) for k in list(batch) if k not in ("input", "gt")
+        }
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        out, metrics = eval_step(state, batch)
+        mses.append(float(metrics["mse"]))
+
+        inp = np.asarray(batch["input"])
+        saves = {
+            "source": inp[..., :3],
+            "background": inp[..., 3:6],
+            "prediction": np.asarray(out),
+            "source_images": np.asarray(batch["gt"]),
+        }
+        if "source_original" in extra:
+            saves["source_original"] = extra["source_original"]
+        if is_primary():
+            for name, clip in saves.items():
+                frames = [denormalize(f) for f in clip[0]]
+                save_frames_as_video(
+                    frames,
+                    osp.join(
+                        sample_folder, f"{epoch + 1}_{step}_{i}_{name}.mp4"
+                    ),
+                )
+    return {"val_mse": float(np.mean(mses)) if mses else float("nan")}
+
+
+class Trainer:
+    """End-to-end perceptual training (reference
+    train_faceoff_perceptual.py:147-204 main)."""
+
+    def __init__(
+        self,
+        cfg: config_lib.Config,
+        model,
+        state,
+        train_step,
+        eval_step,
+        train_loader,
+        val_loader,
+        lpips_vars=None,
+        mesh=None,
+        log_every: int = 10,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.lpips_vars = lpips_vars
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.log_every = log_every
+        self.ckpt = CheckpointManager(
+            cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints
+        )
+        self.global_step = 0
+
+    def resume(self, step: Optional[int] = None):
+        self.state = self.ckpt.restore(self.state, step)
+        self.global_step = int(self.state.step)
+        print(f"resumed from step {self.global_step}")
+
+    def train_epoch(self, epoch: int):
+        logger = MetricLogger()
+        t0 = time.time()
+        for i, batch in enumerate(self.train_loader):
+            frames = batch["gt"].shape[0] * batch["gt"].shape[1]
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(
+                self.state, batch, self.lpips_vars
+            )
+            self.global_step += 1
+            logger.update(metrics, frames)
+
+            if is_primary() and i % self.log_every == 0:
+                lr = current_lr(self.state)
+                dt = time.time() - t0
+                fps = frames * (i + 1) / max(dt, 1e-9)
+                print(
+                    logger.line(epoch, metrics, lr)
+                    + f"; frames/s: {fps:.1f}",
+                    flush=True,
+                )
+
+            if i % self.cfg.train.validate_at == 0:
+                self.validate(epoch, i)
+        return logger
+
+    def validate(self, epoch: int, step: int):
+        run_validation(
+            self.eval_step,
+            self.state,
+            self.val_loader,
+            self.cfg.train.sample_folder,
+            epoch,
+            step,
+            mesh=self.mesh,
+        )
+        if is_primary():
+            self.ckpt.save(self.global_step, self.state)
+
+    def fit(self, epochs: Optional[int] = None):
+        n = epochs if epochs is not None else self.cfg.train.epochs
+        for epoch in range(n):
+            self.train_epoch(epoch)

@@ -1,0 +1,58 @@
+"""LR schedule tests — golden behaviours vs the reference policies."""
+
+import numpy as np
+import pytest
+
+from faceoff_tpu.train import schedule as S
+
+
+class TestCycle:
+    def test_endpoints_and_peak(self):
+        lr_max, n = 1e-3, 1000
+        fn = S.cycle_schedule(lr_max, n, divider=25, warmup_proportion=0.3)
+        assert np.isclose(float(fn(0)), lr_max / 25, rtol=1e-4)
+        assert np.isclose(float(fn(300)), lr_max, rtol=1e-2)
+        # final lr anneals to lr_min/1e4 (reference scheduler.py:272)
+        assert float(fn(999)) < lr_max / 1000
+
+    def test_monotone_warmup(self):
+        fn = S.cycle_schedule(1e-3, 100, warmup_proportion=0.5)
+        vals = [float(fn(i)) for i in range(0, 50, 5)]
+        assert all(b > a for a, b in zip(vals, vals[1:]))
+
+    def test_momentum_mirror(self):
+        fn = S.cycle_momentum_schedule(100, (0.95, 0.85), 0.5)
+        assert np.isclose(float(fn(0)), 0.95, rtol=1e-4)
+        assert np.isclose(float(fn(50)), 0.85, rtol=1e-2)
+        assert np.isclose(float(fn(99)), 0.95, rtol=1e-2)
+
+
+class TestOthers:
+    def test_cosine_range(self):
+        fn = S.cosine_lr(1e-5, 1e-3, 100)
+        vals = np.array([float(fn(i)) for i in range(100)])
+        assert vals.max() <= 1e-3 + 1e-9 and vals.min() >= 1e-5 - 1e-9
+        assert np.isclose(float(fn(0)), 1e-3)
+
+    def test_power_warmup_then_decay(self):
+        fn = S.power_lr(1e-5, 1e-3, 10)
+        assert float(fn(0)) == pytest.approx(1e-5)
+        assert float(fn(10)) == pytest.approx(1e-3, rel=1e-3)
+        assert float(fn(40)) < float(fn(20))
+
+    def test_clr_triangle(self):
+        fn = S.clr(0.0, 1.0, 10)
+        assert float(fn(0)) == pytest.approx(0.0)
+        assert float(fn(10)) == pytest.approx(1.0)
+        assert float(fn(20)) == pytest.approx(0.0)
+
+    def test_transformer_warmup_peak(self):
+        fn = S.transformer_warmup(512, warmup=100)
+        vals = [float(fn(i)) for i in [1, 50, 100, 200]]
+        assert vals[2] == max(vals)
+
+    def test_factory_flags(self):
+        assert S.make_schedule("", 1e-3, 100) is None
+        assert S.make_schedule("cycle", 1e-3, 100) is not None
+        with pytest.raises(ValueError):
+            S.make_schedule("bogus", 1e-3, 100)
