@@ -1,0 +1,126 @@
+"""Inference CLI: swap a source actor's face onto a target video.
+
+The user-facing deliverable of the system (the reference exposes this only
+through `--test --crossid/--custom_validation` validation runs,
+train_faceoff_perceptual.py:187-188): given two preprocessed video dirs
+(frames + landmark npz, see the dataset contract) and a trained
+checkpoint, writes the swapped video plus the intermediate streams.
+
+    python -m faceoff_tpu.cli.swap --source SRC_DIR --target TGT_DIR \
+        --checkpoint_dir CKPT [--ckpt STEP] --out swapped.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceoff_tpu.data import geometry
+from faceoff_tpu.data.dataset import (
+    _landmark_paths,
+    denormalize,
+    load_frame,
+    normalize,
+)
+from faceoff_tpu.io.checkpoint import CheckpointManager
+from faceoff_tpu.io.video import save_frames_as_video
+from faceoff_tpu.models import VQVAE
+from faceoff_tpu.train import create_train_state, make_eval_step
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source", required=True, help="source video dir (face)")
+    p.add_argument("--target", required=True,
+                   help="target video dir (pose/background)")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--ckpt", default=None, help="step (default latest)")
+    p.add_argument("--out", default="swapped.mp4")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--fps", type=int, default=25)
+    p.add_argument("--chunk", type=int, default=32,
+                   help="frames per device batch")
+    p.add_argument("--save_streams", action="store_true",
+                   help="also write composite/background streams")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    src_paths = _landmark_paths(args.source)
+    tgt_paths = _landmark_paths(args.target)
+    n = min(len(src_paths), len(tgt_paths))
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    if n == 0:
+        raise SystemExit("no overlapping frames with landmarks")
+
+    # host-side geometry: hull -> warp -> composite per frame pair
+    sources, backgrounds = [], []
+    for sp, tp in zip(src_paths[:n], tgt_paths[:n]):
+        s_img, s_lms = load_frame(sp, args.size)
+        t_img, t_lms = load_frame(tp, args.size)
+        out = geometry.generate_warped_image(s_lms, t_lms, s_img, t_img)
+        sources.append(normalize(out["source_face_transformed"]))
+        backgrounds.append(normalize(out["target_without_face_features"]))
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    sample = jnp.zeros((1, args.chunk, args.size, args.size, 6), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), sample)
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore_weights(
+        state, None if args.ckpt in (None, "latest") else int(args.ckpt)
+    )
+    print(f"restored checkpoint step {int(state.step)}")
+    eval_step = make_eval_step(model)
+
+    frames_out = []
+    for i in range(0, n, args.chunk):
+        chunk_src = np.stack(sources[i: i + args.chunk])
+        chunk_bg = np.stack(backgrounds[i: i + args.chunk])
+        pad = args.chunk - len(chunk_src)
+        if pad:  # static shapes: pad the tail chunk
+            chunk_src = np.pad(chunk_src, ((0, pad), (0, 0), (0, 0), (0, 0)))
+            chunk_bg = np.pad(chunk_bg, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        batch = {
+            "input": jnp.asarray(
+                np.concatenate([chunk_src, chunk_bg], axis=-1)[None]
+            ),
+            "gt": jnp.zeros(
+                (1, args.chunk, args.size, args.size, 3), jnp.float32
+            ),
+        }
+        out, _ = eval_step(state, batch)
+        out_np = np.asarray(out[0])[: args.chunk - pad if pad else args.chunk]
+        frames_out += [denormalize(f) for f in out_np]
+        print(f"swapped {min(i + args.chunk, n)}/{n} frames", flush=True)
+
+    save_frames_as_video(frames_out, args.out, fps=args.fps)
+    print(f"wrote {args.out} ({len(frames_out)} frames)")
+
+    if args.save_streams:
+        stem = osp.splitext(args.out)[0]
+        save_frames_as_video(
+            [denormalize(f) for f in sources], f"{stem}_composite.mp4",
+            fps=args.fps,
+        )
+        save_frames_as_video(
+            [denormalize(f) for f in backgrounds], f"{stem}_background.mp4",
+            fps=args.fps,
+        )
+        print(f"wrote {stem}_composite.mp4, {stem}_background.mp4")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,15 +39,17 @@ def _frame_index(path: str) -> int:
 
 
 def list_videos(root: str, min_landmark_files: int = 3) -> List[str]:
-    """Discover video directories with enough landmark files
-    (reference dataset.py:190-208 filters on landmark counts)."""
-    videos = []
-    for d in sorted(glob(osp.join(root, "*"))):
-        if not osp.isdir(d):
-            continue
-        n = len(glob(osp.join(d, "*_landmarks.npz")))
-        if n > min_landmark_files:
-            videos.append(d)
+    """Discover video directories (any nesting depth) with enough landmark
+    files (reference dataset.py:190-208 globs fixed nesting levels and
+    filters on landmark counts; here discovery is recursive so preprocess
+    output trees work directly)."""
+    roots = set()
+    for lm in glob(osp.join(root, "**", "*_landmarks.npz"), recursive=True):
+        roots.add(osp.dirname(lm))
+    videos = [
+        d for d in sorted(roots)
+        if len(glob(osp.join(d, "*_landmarks.npz"))) > min_landmark_files
+    ]
     return videos
 
 

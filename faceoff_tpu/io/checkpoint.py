@@ -41,6 +41,27 @@ class CheckpointManager:
         )
         return state.replace(**restored)
 
+    def restore_weights(self, state: Any, step: Optional[int] = None) -> Any:
+        """Restore only step/params/vq — optimizer state is ignored, so a
+        checkpoint trains on (e.g.) a cycle schedule and still loads for
+        inference or fine-tuning under a different optimizer (the
+        reference's `--ckpt` semantics, train_faceoff_perceptual.py:178-185,
+        which also carries weights only)."""
+        if step is None:
+            step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        partial = {
+            "step": state.step,
+            "params": state.params,
+            "vq": state.vq,
+        }
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(item=partial, partial_restore=True),
+        )
+        return state.replace(**restored)
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -1,0 +1,188 @@
+"""Pluggable face detection / landmark backends for offline preprocessing.
+
+The reference hard-depends on mediapipe for detection
+(reference preprocessing/preprocess_dataset.py:134-157) and on
+face_alignment for 68-point landmarks
+(reference preprocessing/landmark_generation.py:43-56). Neither ships in
+every environment (nor in this image), so the pipeline here programs
+against two small protocols with auto-selected backends:
+
+  FaceDetector.detect(frame) -> (x1, y1, x2, y2) | None
+  Landmarker.landmarks(frame_batch) -> list[(68, 2) array | None]
+
+Backends, best-first:
+  * MediapipeDetector / FaceAlignmentLandmarker — used when the libraries
+    are importable (drop-in parity with the reference).
+  * OpenCV FaceDetectorYN — used when an ONNX model path is supplied.
+  * HeuristicDetector / BoxLandmarker — self-contained fallback: skin-prior
+    + largest-connected-region detection, and 68 landmarks synthesized from
+    the face box with the canonical iBUG layout. Geometry-only: good enough
+    to exercise/benchmark the full pipeline and for stylized footage, NOT
+    for production-quality real-face landmarks — install mediapipe/
+    face_alignment for that.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+Box = Tuple[int, int, int, int]
+
+
+# ---------------------------------------------------------------- detectors
+
+
+class HeuristicDetector:
+    """Skin-prior face detector: YCrCb skin mask -> largest blob -> box.
+
+    Self-contained (no model files). Confidence is the blob's fill ratio.
+    """
+
+    def __init__(self, min_area_frac: float = 0.005):
+        self.min_area_frac = min_area_frac
+
+    def detect(self, frame_rgb: np.ndarray) -> Optional[Box]:
+        ycrcb = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2YCrCb)
+        # classic skin cluster in CrCb
+        mask = cv2.inRange(
+            ycrcb, np.array([0, 133, 77]), np.array([255, 180, 135])
+        )
+        mask = cv2.morphologyEx(
+            mask, cv2.MORPH_CLOSE, np.ones((7, 7), np.uint8)
+        )
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(mask)
+        if n <= 1:
+            return None
+        # largest non-background component
+        areas = stats[1:, cv2.CC_STAT_AREA]
+        best = int(np.argmax(areas)) + 1
+        h, w = frame_rgb.shape[:2]
+        if stats[best, cv2.CC_STAT_AREA] < self.min_area_frac * h * w:
+            return None
+        x = int(stats[best, cv2.CC_STAT_LEFT])
+        y = int(stats[best, cv2.CC_STAT_TOP])
+        bw = int(stats[best, cv2.CC_STAT_WIDTH])
+        bh = int(stats[best, cv2.CC_STAT_HEIGHT])
+        return (x, y, x + bw, y + bh)
+
+
+class MediapipeDetector:
+    """mediapipe face detection (parity with reference
+    preprocess_dataset.py:134-157). Raises ImportError when unavailable."""
+
+    def __init__(self, min_confidence: float = 0.5):
+        import mediapipe as mp  # noqa: F401
+
+        self._mp = mp
+        self._det = mp.solutions.face_detection.FaceDetection(
+            model_selection=0, min_detection_confidence=min_confidence
+        )
+
+    def detect(self, frame_rgb: np.ndarray) -> Optional[Box]:
+        res = self._det.process(frame_rgb)
+        if not res.detections:
+            return None
+        h, w = frame_rgb.shape[:2]
+        d = res.detections[0].location_data.relative_bounding_box
+        x1 = max(int(d.xmin * w), 0)
+        y1 = max(int(d.ymin * h), 0)
+        return (x1, y1, min(int((d.xmin + d.width) * w), w),
+                min(int((d.ymin + d.height) * h), h))
+
+
+class YunetDetector:
+    """OpenCV FaceDetectorYN with a user-supplied ONNX model."""
+
+    def __init__(self, model_path: str, score_threshold: float = 0.6):
+        self._det = cv2.FaceDetectorYN_create(
+            model_path, "", (320, 320), score_threshold
+        )
+
+    def detect(self, frame_rgb: np.ndarray) -> Optional[Box]:
+        h, w = frame_rgb.shape[:2]
+        self._det.setInputSize((w, h))
+        _, faces = self._det.detect(
+            cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR)
+        )
+        if faces is None or len(faces) == 0:
+            return None
+        x, y, bw, bh = faces[0][:4].astype(int)
+        return (max(x, 0), max(y, 0), min(x + bw, w), min(y + bh, h))
+
+
+def default_detector():
+    """Best available detector."""
+    try:
+        return MediapipeDetector()
+    except ImportError:
+        return HeuristicDetector()
+
+
+# --------------------------------------------------------------- landmarkers
+
+
+class BoxLandmarker:
+    """68 landmarks synthesized from the detected face box in the canonical
+    iBUG layout (jaw 0-16, brows 17-26, nose 27-35, eyes 36-47, mouth
+    48-67). Geometry-only fallback — see module docstring."""
+
+    def __init__(self, detector=None):
+        self.detector = detector or default_detector()
+
+    def landmarks(
+        self, frames_rgb: Sequence[np.ndarray]
+    ) -> List[Optional[np.ndarray]]:
+        from faceoff_tpu.data.synthetic import face_landmarks
+
+        out: List[Optional[np.ndarray]] = []
+        for frame in frames_rgb:
+            box = self.detector.detect(frame)
+            if box is None:
+                out.append(None)
+                continue
+            x1, y1, x2, y2 = box
+            cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+            scale = max(x2 - x1, y2 - y1) / 2.2
+            out.append(face_landmarks((cx, cy), scale))
+        return out
+
+
+class FaceAlignmentLandmarker:
+    """face_alignment 2D 68-point landmarks with the reference's
+    OOM-halving retry (reference landmark_generation.py:104-118)."""
+
+    def __init__(self, device: str = "cpu"):
+        import face_alignment
+
+        self._fa = face_alignment.FaceAlignment(
+            face_alignment.LandmarksType.TWO_D, device=device
+        )
+
+    def landmarks(
+        self, frames_rgb: Sequence[np.ndarray]
+    ) -> List[Optional[np.ndarray]]:
+        out: List[Optional[np.ndarray]] = []
+        batch = list(frames_rgb)
+        while True:
+            try:
+                for frame in batch:
+                    pts = self._fa.get_landmarks(frame)
+                    out.append(
+                        np.asarray(pts[0], np.float32) if pts else None
+                    )
+                return out
+            except RuntimeError:
+                # OOM-style failure: halve and retry
+                if len(batch) <= 1:
+                    raise
+                batch = batch[: len(batch) // 2]
+
+
+def default_landmarker():
+    try:
+        return FaceAlignmentLandmarker()
+    except ImportError:
+        return BoxLandmarker()

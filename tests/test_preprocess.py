@@ -1,0 +1,127 @@
+"""Preprocessing pipeline tests: IoU tracking, clip segmentation, landmark
+generation — end to end on synthetic video."""
+
+import os.path as osp
+from glob import glob
+
+import cv2
+import numpy as np
+import pytest
+
+from faceoff_tpu.data import synthetic
+from faceoff_tpu.io.video import read_video_frames, save_frames_as_video
+from faceoff_tpu.preprocess.face_crop import (
+    iou,
+    process_video,
+    segment_stable_boxes,
+    square_crop_box,
+)
+from faceoff_tpu.preprocess.detectors import BoxLandmarker, HeuristicDetector
+from faceoff_tpu.preprocess.landmarks import generate_landmarks_for_video
+
+
+class TestIoU:
+    def test_identical(self):
+        assert iou((0, 0, 10, 10), (0, 0, 10, 10)) == 1.0
+
+    def test_disjoint(self):
+        assert iou((0, 0, 10, 10), (20, 20, 30, 30)) == 0.0
+
+    def test_half_overlap(self):
+        v = iou((0, 0, 10, 10), (5, 0, 15, 10))
+        assert 0.3 < v < 0.35  # 50/150
+
+
+class TestSegmentation:
+    def test_stable_track_single_segment(self):
+        boxes = [(10, 10, 50, 50)] * 40
+        segs = segment_stable_boxes(boxes, min_frames=30)
+        assert len(segs) == 1
+        assert segs[0][:2] == (0, 40)
+
+    def test_jump_splits(self):
+        boxes = [(10, 10, 50, 50)] * 35 + [(100, 100, 140, 140)] * 35
+        segs = segment_stable_boxes(boxes, min_frames=30)
+        assert len(segs) == 2
+
+    def test_short_segments_dropped(self):
+        boxes = [(10, 10, 50, 50)] * 10 + [None] + [(10, 10, 50, 50)] * 10
+        segs = segment_stable_boxes(boxes, min_frames=30)
+        assert segs == []
+
+    def test_none_breaks_track(self):
+        boxes = [(10, 10, 50, 50)] * 35 + [None] + [(10, 10, 50, 50)] * 35
+        segs = segment_stable_boxes(boxes, min_frames=30)
+        assert len(segs) == 2
+
+    def test_square_crop_clamped(self):
+        box = square_crop_box((0, 0, 60, 40), (100, 100, 3))
+        x1, y1, x2, y2 = box
+        assert x1 >= 0 and y1 >= 0 and x2 <= 100 and y2 <= 100
+        assert abs((x2 - x1) - (y2 - y1)) <= 1 or x1 == 0 or y1 == 0
+
+
+def _make_raw_video(path, n_frames=40, size=160):
+    """Synthetic raw footage with a drawn face on a plain background —
+    detectable by the skin-prior heuristic."""
+    rng = np.random.default_rng(0)
+    frames = []
+    for f in range(n_frames):
+        img = np.full((size, size, 3), 40, np.uint8)
+        lms = synthetic.face_landmarks(
+            (size / 2 + 3 * np.sin(0.2 * f), size / 2), size * 0.25
+        )
+        synthetic.draw_face(img, lms, (200, 160, 140))
+        frames.append(img)
+    save_frames_as_video(frames, path, fps=25)
+
+
+class TestEndToEnd:
+    def test_face_crop_pipeline(self, tmp_path):
+        raw = str(tmp_path / "raw.mp4")
+        _make_raw_video(raw)
+        written = process_video(
+            raw, str(tmp_path / "clips"), detector=HeuristicDetector(),
+            min_frames=20, resolution=128,
+        )
+        assert len(written) >= 1
+        frames = read_video_frames(written[0])
+        assert frames[0].shape == (128, 128, 3)
+
+    def test_landmark_stage_writes_contract(self, tmp_path):
+        raw = str(tmp_path / "clip.mp4")
+        _make_raw_video(raw, n_frames=12)
+        ok, n_written, n_bad = generate_landmarks_for_video(
+            raw, str(tmp_path / "out"),
+            landmarker=BoxLandmarker(HeuristicDetector()), resolution=128,
+        )
+        assert ok and n_written > 0
+        jpgs = sorted(glob(str(tmp_path / "out" / "*.jpg")))
+        npzs = sorted(glob(str(tmp_path / "out" / "*_landmarks.npz")))
+        assert len(jpgs) == len(npzs) == n_written
+        lm = np.load(npzs[0])["landmark"]
+        assert lm.shape == (68, 2)
+        # landmarks are inside the frame
+        assert lm.min() >= -10 and lm.max() <= 138
+
+    def test_pipeline_feeds_dataset(self, tmp_path):
+        """Full chain: raw video -> crop -> landmarks -> dataset item."""
+        from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+
+        raw = str(tmp_path / "raw.mp4")
+        _make_raw_video(raw, n_frames=30)
+        clips = process_video(
+            raw, str(tmp_path / "ds" / "vid0"), detector=HeuristicDetector(),
+            min_frames=10, resolution=128,
+        )
+        assert clips
+        ok, n, _ = generate_landmarks_for_video(
+            clips[0], osp.splitext(clips[0])[0],
+            landmarker=BoxLandmarker(HeuristicDetector()), resolution=128,
+        )
+        assert ok and n >= 4
+        ds = TemporalAlignmentDataset(
+            osp.dirname(clips[0]), "train", 4, resolution=128
+        )
+        item = ds.get_item(0, np.random.default_rng(0))
+        assert item["gt"].shape == (4, 128, 128, 3)
