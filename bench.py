@@ -17,6 +17,7 @@ for the ~20M-param VQVAE-2 + dual VGG16 LPIPS forward on a V100-class GPU
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -27,6 +28,99 @@ REF_FPS_PER_GPU_EST = 30.0
 
 B, T, HW = 1, 8, 256
 WARMUP, ITERS = 3, 20
+
+
+def bench_e2e(device_pipeline: bool):
+    """End-to-end training throughput incl. the input pipeline on a
+    synthetic on-disk dataset: host geometry path vs the on-device
+    hull/perturb/composite path (--mode e2e / e2e_host)."""
+    import tempfile
+
+    import numpy as np
+
+    from faceoff_tpu.data import synthetic
+    from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.train import create_train_state, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    with tempfile.TemporaryDirectory() as root:
+        synthetic.generate_dataset(root, n_videos=4, n_frames=T + 4, size=HW)
+        ds = TemporalAlignmentDataset(root, "train", T, resolution=HW)
+
+        model = VQVAE(
+            in_channels=6,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            use_pallas=on_tpu,
+        )
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((B, T, HW, HW, 6)), lr=3e-4
+        )
+
+        if device_pipeline:
+            from faceoff_tpu.data.device_pipeline import (
+                RawClipLoader,
+                prepare_train_batch,
+            )
+
+            loader = RawClipLoader(ds, batch_clips=B, num_workers=8)
+            # input prep fused into the train step: one dispatch per step
+            train_step = make_train_step(
+                model, prepare_fn=prepare_train_batch, donate=False
+            )
+
+            def run_one(step_idx, batch):
+                return train_step(
+                    state,
+                    {
+                        "frames": jnp.asarray(batch["frames"]),
+                        "landmarks": jnp.asarray(batch["landmarks"]),
+                    },
+                    None,
+                    jax.random.key(step_idx),
+                )
+        else:
+            train_step = make_train_step(model, donate=False)
+            from faceoff_tpu.data.pipeline import DataLoader
+
+            loader = DataLoader(ds, batch_clips=B, num_workers=8)
+
+            def run_one(step_idx, batch):
+                return train_step(
+                    state,
+                    {
+                        "input": jnp.asarray(batch["input"]),
+                        "gt": jnp.asarray(batch["gt"]),
+                    },
+                )
+
+        # warmup (compile)
+        it = iter(loader)
+        _, m = run_one(0, next(it))
+        jax.block_until_ready(m["loss"])
+
+        n_steps = 0
+        t0 = time.perf_counter()
+        while n_steps < 12:
+            for batch in loader:
+                _, m = run_one(n_steps, batch)
+                n_steps += 1
+                if n_steps >= 12:
+                    break
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        fps = B * T * n_steps / dt
+    label = "device" if device_pipeline else "host"
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e_train_frames_per_sec_{label}_pipeline",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
+            }
+        )
+    )
 
 
 def main():
@@ -84,4 +178,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--mode", choices=["step", "e2e", "e2e_host"], default="step",
+        help="step: device-only train step (driver default); "
+             "e2e: incl. input pipeline with on-device geometry; "
+             "e2e_host: incl. input pipeline with host cv2 geometry",
+    )
+    mode = ap.parse_args().mode
+    if mode == "step":
+        main()
+    else:
+        bench_e2e(device_pipeline=(mode == "e2e"))

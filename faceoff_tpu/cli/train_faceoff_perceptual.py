@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpips_weights", type=str, default=None,
                    help=".npz from tools/convert_lpips.py")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--device_pipeline", action="store_true",
+                   help="run hull/perturb/composite on the accelerator "
+                        "(host workers only decode JPEGs)")
+    p.add_argument("--metrics_path", type=str, default=None,
+                   help="append per-step scalars as JSONL")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-15")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -136,12 +143,31 @@ def build_everything(args):
             args.data_root if args.custom_validation else None
         ),
     )
-    train_loader = DataLoader(
-        train_ds,
-        batch_clips=args.batch_size * n_dev,
-        num_workers=args.num_workers,
-        seed=args.seed,
-    )
+    prepare_fn = None
+    if args.device_pipeline:
+        import functools
+
+        from faceoff_tpu.data.device_pipeline import (
+            RawClipLoader,
+            prepare_train_batch,
+        )
+
+        train_loader = RawClipLoader(
+            train_ds,
+            batch_clips=args.batch_size * n_dev,
+            num_workers=args.num_workers,
+            seed=args.seed,
+        )
+        prepare_fn = functools.partial(
+            prepare_train_batch, color_jitter=args.colorjit
+        )
+    else:
+        train_loader = DataLoader(
+            train_ds,
+            batch_clips=args.batch_size * n_dev,
+            num_workers=args.num_workers,
+            seed=args.seed,
+        )
     val_loader = DataLoader(
         val_ds, batch_clips=n_dev, shuffle=False,
         num_workers=args.num_workers, seed=args.seed,
@@ -169,12 +195,14 @@ def build_everything(args):
         latent_loss_weight=cfg.train.latent_loss_weight,
         perceptual_loss_weight=cfg.train.perceptual_loss_weight,
         lpips_apply=lpips_apply,
+        prepare_fn=prepare_fn,
     )
     eval_step = make_eval_step(model)
 
     trainer = Trainer(
         cfg, model, state, train_step, eval_step, train_loader, val_loader,
-        lpips_vars=lpips_vars, mesh=mesh,
+        lpips_vars=lpips_vars, mesh=mesh, prepare_fn=prepare_fn,
+        metrics_path=args.metrics_path, profile_dir=args.profile_dir,
     )
     return trainer, cfg
 

@@ -38,17 +38,36 @@ def _frame_index(path: str) -> int:
     return int(osp.basename(path).split("_")[0])
 
 
-def list_videos(root: str, min_landmark_files: int = 3) -> List[str]:
+def list_videos(
+    root: str,
+    min_landmark_files: int = 3,
+    exclude_list: Optional[str] = None,
+) -> List[str]:
     """Discover video directories (any nesting depth) with enough landmark
     files (reference dataset.py:190-208 globs fixed nesting levels and
     filters on landmark counts; here discovery is recursive so preprocess
-    output trees work directly)."""
+    output trees work directly).
+
+    exclude_list: optional JSON file with directory names/paths to skip —
+    the role of the reference's curation lists (bad_mp4s.json,
+    valid_folders_ft.json at repo root)."""
+    excluded = set()
+    if exclude_list:
+        import json
+
+        with open(exclude_list) as f:
+            for entry in json.load(f):
+                excluded.add(osp.normpath(entry))
+                excluded.add(osp.basename(osp.normpath(entry)))
+
     roots = set()
     for lm in glob(osp.join(root, "**", "*_landmarks.npz"), recursive=True):
         roots.add(osp.dirname(lm))
     videos = [
         d for d in sorted(roots)
         if len(glob(osp.join(d, "*_landmarks.npz"))) > min_landmark_files
+        and osp.normpath(d) not in excluded
+        and osp.basename(osp.normpath(d)) not in excluded
     ]
     return videos
 
@@ -127,6 +146,8 @@ class TemporalAlignmentDataset:
         hull_end: int = 67,
         mask_enlargement: int = 10,
         min_landmark_files: int = 3,
+        use_bb_mask: bool = False,
+        exclude_list: Optional[str] = None,
     ):
         self.mode = mode
         self.max_len = max_frame_len
@@ -135,10 +156,13 @@ class TemporalAlignmentDataset:
         self.grayscale = grayscale
         self.hull_slice = slice(hull_start, hull_end)
         self.mask_enlargement = mask_enlargement
+        # bounding-box masks instead of convex hulls (`requires_bb`,
+        # reference dataset.py:23,41-44 + the _bb geometry variant)
+        self.use_bb_mask = use_bb_mask
         # cross-id disables colour jitter (reference dataset.py:227-228)
         self.color_jitter_type = "" if cross_identity else color_jitter_type
 
-        self.videos = list_videos(root, min_landmark_files)
+        self.videos = list_videos(root, min_landmark_files, exclude_list)
         if not self.videos:
             raise FileNotFoundError(f"no usable videos under {root}")
 
@@ -156,10 +180,24 @@ class TemporalAlignmentDataset:
     def _sample_window(
         self, paths: Sequence[str], rng: np.random.Generator, start: Optional[int] = None
     ) -> Sequence[str]:
+        """Random max_len window. Unlike the reference (whose random start
+        can overrun short videos, yielding ragged clips tolerated by eager
+        torch — dataset.py:62), the start is clamped and short videos pad
+        by repeating the last frame: XLA requires static clip shapes."""
         if start is None:
-            hi = max(5, len(paths) - self.max_len - 1)
+            hi = max(0, len(paths) - self.max_len)
             start = int(rng.integers(0, hi + 1))
-        return paths[start: start + self.max_len]
+        else:
+            start = min(start, max(0, len(paths) - self.max_len))
+        window = list(paths[start: start + self.max_len])
+        while window and len(window) < self.max_len:
+            window.append(window[-1])
+        return window
+
+    def _face_mask(self, img, lms):
+        if self.use_bb_mask:
+            return geometry.bounding_box_mask(img.shape, lms[self.hull_slice])
+        return geometry.convex_hull_mask(img.shape, lms[self.hull_slice])
 
     # -- self-supervised item (reference dataset.py:356-375) -------------
 
@@ -180,7 +218,7 @@ class TemporalAlignmentDataset:
             img, lms = load_frame(lm_path, self.resolution)
             if self.grayscale:
                 img = to_grayscale3(img)
-            mask = geometry.convex_hull_mask(img.shape, lms[self.hull_slice])
+            mask = self._face_mask(img, lms)
             face = geometry.apply_mask(mask, img)
             background = geometry.apply_mask(255 - mask, img)
             perturbed, _ = perturbations.perturb_image_composite(face, lms, rng)
@@ -213,7 +251,7 @@ class TemporalAlignmentDataset:
         sources, backgrounds, originals, gts = [], [], [], []
         for lm_path in window:
             img, lms = load_frame(lm_path, self.resolution)
-            mask = geometry.convex_hull_mask(img.shape, lms[self.hull_slice])
+            mask = self._face_mask(img, lms)
             face = geometry.apply_mask(mask, img)
             background = geometry.apply_mask(255 - mask, img)
             perturbed, gt_t = perturbations.perturb_image_composite(

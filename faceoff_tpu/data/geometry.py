@@ -51,6 +51,19 @@ def convex_hull_mask(shape: Tuple[int, ...], points: np.ndarray) -> np.ndarray:
     return mask
 
 
+def bounding_box_mask(shape: Tuple[int, ...], points: np.ndarray) -> np.ndarray:
+    """Axis-aligned landmark bounding-box mask — the `requires_bb` variant
+    (reference datasets/face_translation_videos3_utils_bb.py:65,190-194:
+    generate_convex_hull_bb + estimate_bb_coordinates)."""
+    pts = np.asarray(points)
+    x1, y1 = np.floor(pts.min(axis=0)).astype(int)
+    x2, y2 = np.ceil(pts.max(axis=0)).astype(int)
+    mask = np.zeros(shape, np.uint8)
+    h, w = shape[:2]
+    mask[max(y1, 0): min(y2, h), max(x1, 0): min(x2, w)] = 255
+    return mask
+
+
 def enlarge_mask(mask: np.ndarray, enlargement: int = 10) -> np.ndarray:
     """Grow the mask boundary by redrawing its hull contour with a thick pen
     (reference face_translation_videos3_utils.py:66-77)."""

@@ -101,6 +101,37 @@ def relativistic_average_lsgan(
     return jnp.asarray(total)
 
 
+def gradient_penalty(
+    disc_apply,
+    real: jnp.ndarray,
+    fake: jnp.ndarray,
+    key,
+    num_D: int = 2,
+) -> jnp.ndarray:
+    """WGAN-GP style gradient penalty on real/fake interpolates for
+    multiscale discriminators (reference mocoganhd_losses.py:27-53:
+    sum over scales of (||dD/dx||_2 - 1)^2, scaled 10/num_D).
+
+    disc_apply: x -> multiscale logits; real/fake: matching video/image
+    batches."""
+    alpha = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1))
+    interp = alpha * real + (1 - alpha) * fake
+
+    def scalar_outputs(x):
+        outs = _final_logits(disc_apply(x))
+        return [jnp.sum(o) for o in outs]
+
+    total = 0.0
+    n_scales = len(scalar_outputs(interp))
+    for i in range(n_scales):
+        g = jax.grad(lambda x: scalar_outputs(x)[i])(interp)
+        # norm over channel axis per position, as the reference's
+        # gradients.norm(2, dim=1)
+        gn = jnp.sqrt(jnp.sum(g ** 2, axis=-1) + 1e-12)
+        total += jnp.mean((gn - 1.0) ** 2)
+    return total / num_D * 10.0
+
+
 def multiscale_gan_loss(
     loss_kind: str, logits_real: Logits, logits_fake: Logits
 ) -> jnp.ndarray:

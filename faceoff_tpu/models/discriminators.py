@@ -181,17 +181,36 @@ class MultiscaleDiscriminator3D(nn.Module):
         return results
 
 
+class GaussianNoise(nn.Module):
+    """Optional additive input noise for discriminator regularization
+    (reference mocogan_discriminator.py:16-25 Noise). Active only in
+    training with a 'noise' PRNG stream provided."""
+
+    sigma: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if not train or not self.has_rng("noise"):
+            return x
+        key = self.make_rng("noise")
+        return x + self.sigma * jax.random.normal(key, x.shape, x.dtype)
+
+
 class PatchImageDiscriminator(nn.Module):
     """MoCoGAN patch image discriminator
     (reference mocogan_discriminator.py:74-111): 6 k4s2 conv+BN+LeakyReLU
     stages, patch logit map output."""
 
     ndf: int = 64
+    use_noise: bool = False
+    noise_sigma: float = 0.2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         widths = [1, 2, 4, 8, 16]
         for i, m in enumerate(widths):
+            if self.use_noise:
+                x = GaussianNoise(self.noise_sigma)(x, train=train)
             x = nn.Conv(
                 self.ndf * m, (4, 4), strides=2, padding=1, use_bias=False,
                 kernel_init=conv_init,

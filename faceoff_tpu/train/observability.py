@@ -1,0 +1,97 @@
+"""Observability + resilience utilities the reference lacks (SURVEY §5:
+"Tracing/profiling: none", "Failure detection: none", "Metrics: print +
+tqdm only").
+
+  * MetricsWriter — append-only JSONL scalar log (one line per step) that
+    any plotting tool can consume; no tensorboard dependency.
+  * StepProfiler — wraps `jax.profiler` to capture a windowed device trace
+    (steps [start, start+count)) viewable in XProf/TensorBoard.
+  * PreemptionGuard — converts SIGTERM/SIGINT (and SLURM's pre-preemption
+    signal, which the reference requests via --signal=B:HUP@600 but never
+    catches, bash_scripts/train_videovqvae.sh:11) into a graceful
+    "checkpoint at the next step boundary and stop" request.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import time
+from typing import Dict, Optional
+
+
+class MetricsWriter:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a", buffering=1)
+
+    def write(self, step: int, metrics: Dict[str, float], **extra) -> None:
+        record = {"step": step, "time": time.time(), **extra}
+        for k, v in metrics.items():
+            try:
+                record[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self._f.write(json.dumps(record) + "\n")
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class StepProfiler:
+    """Trace steps [start, start+count) with jax.profiler."""
+
+    def __init__(self, log_dir: Optional[str], start: int = 10, count: int = 5):
+        self.log_dir = log_dir
+        self.start = start
+        self.count = count
+        self._active = False
+
+    def step(self, step_idx: int) -> None:
+        if self.log_dir is None:
+            return
+        import jax
+
+        if step_idx == self.start and not self._active:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif self._active and step_idx >= self.start + self.count:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"profiler trace written to {self.log_dir}", flush=True)
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+class PreemptionGuard:
+    """Installs handlers for `signals`; `should_stop` turns True after any
+    fires. The training loop checks it at step boundaries."""
+
+    def __init__(self, signals=(signal.SIGTERM, signal.SIGINT)):
+        self.should_stop = False
+        self._prev = {}
+        for sig in signals:
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):
+                pass  # not main thread / unsupported signal
+
+    def _handler(self, signum, frame):
+        print(
+            f"received signal {signum}: checkpointing at next step boundary",
+            flush=True,
+        )
+        self.should_stop = True
+
+    def restore(self) -> None:
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass

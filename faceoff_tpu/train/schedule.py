@@ -158,6 +158,35 @@ def cycle_momentum_schedule(
     return fn
 
 
+def cycle_anneal(
+    lr_max: float,
+    lr_divider: float,
+    cut_point: int,
+    step_size: int,
+) -> Schedule:
+    """fastai-style cyclical anneal (reference scheduler.py:157-218
+    CycleAnnealScheduler): triangular ramp up/down around lr_max with a
+    final linear cut to lr_max/100/divider."""
+    cycle_step = int(step_size * (1 - cut_point / 100) / 2)
+
+    def fn(step):
+        it = jnp.mod(_as_f32(step), step_size)
+        # phase 3: past both cycle steps, linear decay to lr_max/100
+        cut3 = (it - 2 * cycle_step) / max(step_size - 2 * cycle_step, 1)
+        lr3 = lr_max * (1 + cut3 * (1 - 100) / 100) / lr_divider
+        # phase 2: ramp down from lr_max
+        cut2 = 1 - (it - cycle_step) / max(cycle_step, 1)
+        lr2 = lr_max * (1 + cut2 * (lr_divider - 1)) / lr_divider
+        # phase 1: ramp up to lr_max
+        cut1 = it / max(cycle_step, 1)
+        lr1 = lr_max * (1 + cut1 * (lr_divider - 1)) / lr_divider
+        return jnp.where(
+            it > 2 * cycle_step, lr3, jnp.where(it > cycle_step, lr2, lr1)
+        )
+
+    return fn
+
+
 def lr_finder(
     lr_min: float, lr_max: float, step_size: int, linear: bool = False
 ) -> Schedule:

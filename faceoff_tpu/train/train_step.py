@@ -31,6 +31,7 @@ def make_train_step(
     latent_loss_weight: float = 1.0,
     perceptual_loss_weight: float = 1.0,
     lpips_apply: Optional[Callable] = None,
+    prepare_fn: Optional[Callable] = None,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -39,6 +40,12 @@ def make_train_step(
     callable; when given, the step takes the frozen LPIPS variables as a
     third argument (loss weights per reference config.py:4-6,
     train_faceoff_perceptual.py:98).
+
+    prepare_fn: optional `(key, frames, landmarks) -> batch` on-device input
+    pipeline (faceoff_tpu.data.device_pipeline). When given, the step
+    accepts a raw {"frames", "landmarks"} batch plus a PRNG key and the
+    whole input preparation fuses into the same XLA program as the
+    optimization step — one dispatch per step.
     """
 
     def loss_fn(params, vq, batch, lpips_vars):
@@ -76,8 +83,13 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=donate_argnums)
     def train_step(
-        state: TrainState, batch: Dict[str, jnp.ndarray], lpips_vars: Any = None
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        lpips_vars: Any = None,
+        key: Optional[jax.Array] = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if prepare_fn is not None:
+            batch = prepare_fn(key, batch["frames"], batch["landmarks"])
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_vq, metrics)), grads = grad_fn(
             state.params, state.vq, batch, lpips_vars

@@ -117,6 +117,9 @@ class Trainer:
         lpips_vars=None,
         mesh=None,
         log_every: int = 10,
+        prepare_fn=None,
+        metrics_path: Optional[str] = None,
+        profile_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.model = model
@@ -132,6 +135,21 @@ class Trainer:
             cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints
         )
         self.global_step = 0
+        # device-side input pipeline: prepare_fn(key, frames, landmarks)
+        # turns a raw uint8 batch into the model batch on-device
+        self.prepare_fn = prepare_fn
+
+        from faceoff_tpu.train.observability import (
+            MetricsWriter,
+            PreemptionGuard,
+            StepProfiler,
+        )
+
+        self.metrics_writer = (
+            MetricsWriter(metrics_path) if metrics_path else None
+        )
+        self.profiler = StepProfiler(profile_dir)
+        self.preemption = PreemptionGuard()
 
     def resume(self, step: Optional[int] = None):
         self.state = self.ckpt.restore(self.state, step)
@@ -139,16 +157,34 @@ class Trainer:
         print(f"resumed from step {self.global_step}")
 
     def train_epoch(self, epoch: int):
+        import jax
+
         logger = MetricLogger()
         t0 = time.time()
         for i, batch in enumerate(self.train_loader):
-            frames = batch["gt"].shape[0] * batch["gt"].shape[1]
+            first = next(iter(batch.values()))
+            frames = first.shape[0] * first.shape[1]
             batch = shard_batch(batch, self.mesh)
+            # with a device pipeline the raw batch + key go straight into
+            # the fused train step (input prep and optimization are one
+            # XLA program)
+            key = None
+            if self.prepare_fn is not None:
+                key = jax.random.key(
+                    self.cfg.train.seed * 1_000_003 + self.global_step
+                )
             self.state, metrics = self.train_step(
-                self.state, batch, self.lpips_vars
+                self.state, batch, self.lpips_vars, key
             )
             self.global_step += 1
             logger.update(metrics, frames)
+            self.profiler.step(self.global_step)
+
+            if self.metrics_writer is not None:
+                self.metrics_writer.write(
+                    self.global_step, metrics, epoch=epoch,
+                    lr=current_lr(self.state),
+                )
 
             if is_primary() and i % self.log_every == 0:
                 lr = current_lr(self.state)
@@ -159,6 +195,12 @@ class Trainer:
                     + f"; frames/s: {fps:.1f}",
                     flush=True,
                 )
+
+            if self.preemption.should_stop:
+                print("preemption requested: saving and stopping", flush=True)
+                if is_primary():
+                    self.ckpt.save(self.global_step, self.state)
+                return logger
 
             if i % self.cfg.train.validate_at == 0:
                 self.validate(epoch, i)
@@ -179,5 +221,12 @@ class Trainer:
 
     def fit(self, epochs: Optional[int] = None):
         n = epochs if epochs is not None else self.cfg.train.epochs
-        for epoch in range(n):
-            self.train_epoch(epoch)
+        try:
+            for epoch in range(n):
+                self.train_epoch(epoch)
+                if self.preemption.should_stop:
+                    break
+        finally:
+            self.profiler.close()
+            if self.metrics_writer is not None:
+                self.metrics_writer.close()
