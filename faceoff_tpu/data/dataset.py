@@ -97,6 +97,36 @@ def load_frame(lm_path: str, resolution: int = 256):
     return img, np.asarray(lms, np.float32)
 
 
+def load_window_frames(
+    lm_paths: Sequence[str], resolution: int = 256
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch-load a clip window: (frames (T, res, res, 3) uint8,
+    landmarks (T, 68, 2)). Uses the native C++ decoder
+    (faceoff_tpu.native) when every frame is a JPEG; falls back to the
+    per-frame cv2 path otherwise."""
+    image_paths = [_image_for_landmark(p) for p in lm_paths]
+    frames: Optional[np.ndarray] = None
+    if all(p.endswith(".jpg") for p in image_paths):
+        try:
+            from faceoff_tpu import native
+
+            if native.available():
+                frames = native.load_frames(image_paths, resolution)
+        except Exception:
+            frames = None
+    if frames is None:
+        frames = np.stack(
+            [load_frame(p, resolution)[0] for p in lm_paths]
+        )
+    lms = np.stack(
+        [
+            np.load(p, allow_pickle=True)["landmark"].astype(np.float32)
+            for p in lm_paths
+        ]
+    )
+    return frames, lms
+
+
 def normalize(img: np.ndarray) -> np.ndarray:
     """uint8 [0,255] -> float32 [-1,1] (reference dataset.py:244-247)."""
     return img.astype(np.float32) / 127.5 - 1.0

@@ -131,21 +131,14 @@ class RawClipLoader:
             def get_item(self, index, rng):
                 from faceoff_tpu.data.dataset import (
                     _landmark_paths,
-                    load_frame,
+                    load_window_frames,
                 )
 
                 ds = self.ds
                 paths = _landmark_paths(ds.videos[index])
                 window = ds._sample_window(paths, rng)
-                frames, lms = [], []
-                for p in window:
-                    img, lm = load_frame(p, ds.resolution)
-                    frames.append(img)
-                    lms.append(lm)
-                return {
-                    "frames": np.stack(frames),
-                    "landmarks": np.stack(lms).astype(np.float32),
-                }
+                frames, lms = load_window_frames(window, ds.resolution)
+                return {"frames": frames, "landmarks": lms}
 
         self.loader = DataLoader(
             _RawView(dataset), batch_clips, shuffle=shuffle,
