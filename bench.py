@@ -97,7 +97,7 @@ def bench_e2e(device_pipeline: bool):
         # warmup (compile)
         it = iter(loader)
         _, m = run_one(0, next(it))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # host read: reliable sync
 
         n_steps = 0
         t0 = time.perf_counter()
@@ -107,7 +107,7 @@ def bench_e2e(device_pipeline: bool):
                 n_steps += 1
                 if n_steps >= 12:
                     break
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # host read: reliable sync
         dt = time.perf_counter() - t0
         fps = B * T * n_steps / dt
     label = "device" if device_pipeline else "host"
@@ -115,6 +115,60 @@ def bench_e2e(device_pipeline: bool):
         json.dumps(
             {
                 "metric": f"e2e_train_frames_per_sec_{label}_pipeline",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
+            }
+        )
+    )
+
+
+def bench_multi(k: int = 8):
+    """K distinct optimizer steps per dispatch via lax.scan
+    (train_step.make_multi_step) — measures launch-overhead-amortized
+    training throughput."""
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.models.lpips import init_lpips
+    from faceoff_tpu.train import create_train_state
+    from faceoff_tpu.train.train_step import make_multi_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    n_chips = jax.device_count()
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    key = jax.random.key(0)
+    k1, k3 = jax.random.split(key)
+    gt = jax.random.uniform(k1, (k, B, T, HW, HW, 3), minval=-1, maxval=1)
+    batches = {"input": jnp.concatenate([gt, gt], axis=-1), "gt": gt}
+    state = create_train_state(model, k3, batches["input"][0], lr=3e-4)
+    lpips_model, lpips_vars = init_lpips(
+        jax.random.key(1), image_size=HW,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    multi = make_multi_step(
+        model, k, lpips_apply=lambda v, a, b: lpips_model.apply(v, a, b),
+        donate=False,
+    )
+    keys = jax.random.split(jax.random.key(2), k)
+
+    for _ in range(2):
+        state, m = multi(state, batches, lpips_vars, keys)
+    float(m["loss"])
+
+    calls = 6
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        state, m = multi(state, batches, lpips_vars, keys)
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    fps = B * T * k * calls / dt / max(n_chips, 1)
+    print(
+        json.dumps(
+            {
+                "metric": f"train_frames_per_sec_per_chip_256px_T8_scan{k}",
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
@@ -145,7 +199,10 @@ def main():
 
     state = create_train_state(model, k3, batch["input"], lr=3e-4)
 
-    lpips_model, lpips_vars = init_lpips(jax.random.key(1), image_size=HW)
+    lpips_model, lpips_vars = init_lpips(
+        jax.random.key(1), image_size=HW,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
 
     train_step = make_train_step(
@@ -154,12 +211,14 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = train_step(state, batch, lpips_vars)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # host read: the only reliable sync barrier
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = train_step(state, batch, lpips_vars)
-    jax.block_until_ready(metrics["loss"])
+    # block_until_ready can return before remote execution completes on
+    # tunneled backends; a device->host value read cannot.
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     frames_per_sec = B * T * ITERS / dt
@@ -180,13 +239,17 @@ def main():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["step", "e2e", "e2e_host"], default="step",
+        "--mode", choices=["step", "multi", "e2e", "e2e_host"],
+        default="step",
         help="step: device-only train step (driver default); "
+             "multi: K steps per dispatch via lax.scan; "
              "e2e: incl. input pipeline with on-device geometry; "
              "e2e_host: incl. input pipeline with host cv2 geometry",
     )
     mode = ap.parse_args().mode
     if mode == "step":
         main()
+    elif mode == "multi":
+        bench_multi()
     else:
         bench_e2e(device_pipeline=(mode == "e2e"))

@@ -187,6 +187,7 @@ def build_everything(args):
         jax.random.key(args.seed + 1),
         image_size=args.size,
         weights_npz=args.lpips_weights,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
 

@@ -32,6 +32,31 @@ def save_frames_as_video(
         writer.release()
 
 
+def save_image_grid(
+    frames: Sequence[np.ndarray], path: str, nrow: Optional[int] = None
+) -> None:
+    """Tile frames into one PNG grid (role of reference utils.py:19-26
+    save_image / torchvision make_grid). Frames: uint8 or [0,1] float RGB."""
+    if len(frames) == 0:
+        raise ValueError("no frames")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrs = []
+    for f in frames:
+        a = np.asarray(f)
+        if a.dtype != np.uint8:
+            a = np.clip(np.rint(a * 255.0), 0, 255).astype(np.uint8)
+        arrs.append(a)
+    n = len(arrs)
+    nrow = nrow or max(n // 2, 1)
+    ncol = (n + nrow - 1) // nrow
+    h, w = arrs[0].shape[:2]
+    grid = np.zeros((nrow * h, ncol * w, 3), np.uint8)
+    for i, a in enumerate(arrs):
+        r, c = divmod(i, ncol)
+        grid[r * h: (r + 1) * h, c * w: (c + 1) * w] = a
+    cv2.imwrite(path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
+
+
 def read_video_frames(
     video_path: str, max_frames: Optional[int] = None
 ) -> List[np.ndarray]:

@@ -81,13 +81,7 @@ def make_train_step(
 
     donate_argnums = (0,) if donate else ()
 
-    @partial(jax.jit, donate_argnums=donate_argnums)
-    def train_step(
-        state: TrainState,
-        batch: Dict[str, jnp.ndarray],
-        lpips_vars: Any = None,
-        key: Optional[jax.Array] = None,
-    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def step_inner(state, batch, lpips_vars, key):
         if prepare_fn is not None:
             batch = prepare_fn(key, batch["frames"], batch["landmarks"])
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -97,7 +91,73 @@ def make_train_step(
         new_state = state.apply_gradients(grads, new_vq)
         return new_state, metrics
 
+    @partial(jax.jit, donate_argnums=donate_argnums)
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        lpips_vars: Any = None,
+        key: Optional[jax.Array] = None,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        return step_inner(state, batch, lpips_vars, key)
+
     return train_step
+
+
+def make_multi_step(
+    model,
+    steps_per_call: int,
+    *,
+    latent_loss_weight: float = 1.0,
+    perceptual_loss_weight: float = 1.0,
+    lpips_apply: Optional[Callable] = None,
+    prepare_fn: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """K optimizer steps per dispatch via `lax.scan`.
+
+    Amortizes per-step launch overhead (dominant on high-latency hosts;
+    always nonzero): the batch pytree carries a leading `steps_per_call`
+    axis of distinct micro-batches, and PRNG keys likewise. Returns
+    (final_state, metrics of the LAST step, with a 'loss_mean' over the
+    window).
+    """
+    single = make_train_step(
+        model,
+        latent_loss_weight=latent_loss_weight,
+        perceptual_loss_weight=perceptual_loss_weight,
+        lpips_apply=lpips_apply,
+        prepare_fn=prepare_fn,
+        donate=False,
+    )
+    # reuse the traced inner logic via a fresh closure: scan body calls the
+    # unjitted step path (nested jit would inline anyway, but keep it flat)
+    inner = single.__wrapped__  # the undecorated step
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(
+        state: TrainState,
+        batches: Dict[str, jnp.ndarray],
+        lpips_vars: Any = None,
+        keys: Optional[jax.Array] = None,
+    ):
+        if keys is None:
+            keys = jnp.zeros((steps_per_call,), jnp.uint32)
+
+        def body(carry, xs):
+            batch, key = xs
+            new_state, metrics = inner(carry, batch, lpips_vars, key)
+            return new_state, metrics
+
+        state_out, metrics_seq = jax.lax.scan(
+            body, state, (batches, keys), length=steps_per_call
+        )
+        metrics = {
+            k: v[-1] for k, v in metrics_seq.items()
+        }
+        metrics["loss_mean"] = jnp.mean(metrics_seq["loss"])
+        return state_out, metrics
+
+    return multi_step
 
 
 def make_eval_step(model):
