@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(host workers only decode JPEGs)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help=">1: scan that many optimizer steps per dispatch "
+                        "(amortizes launch overhead)")
     p.add_argument("--metrics_path", type=str, default=None,
                    help="append per-step scalars as JSONL")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -191,19 +194,27 @@ def build_everything(args):
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
 
-    train_step = make_train_step(
-        model,
+    step_kwargs = dict(
         latent_loss_weight=cfg.train.latent_loss_weight,
         perceptual_loss_weight=cfg.train.perceptual_loss_weight,
         lpips_apply=lpips_apply,
         prepare_fn=prepare_fn,
     )
+    if args.steps_per_call > 1:
+        from faceoff_tpu.train.train_step import make_multi_step
+
+        train_step = make_multi_step(
+            model, args.steps_per_call, **step_kwargs
+        )
+    else:
+        train_step = make_train_step(model, **step_kwargs)
     eval_step = make_eval_step(model)
 
     trainer = Trainer(
         cfg, model, state, train_step, eval_step, train_loader, val_loader,
         lpips_vars=lpips_vars, mesh=mesh, prepare_fn=prepare_fn,
         metrics_path=args.metrics_path, profile_dir=args.profile_dir,
+        steps_per_call=args.steps_per_call,
     )
     return trainer, cfg
 

@@ -120,6 +120,7 @@ class Trainer:
         prepare_fn=None,
         metrics_path: Optional[str] = None,
         profile_dir: Optional[str] = None,
+        steps_per_call: int = 1,
     ):
         self.cfg = cfg
         self.model = model
@@ -138,6 +139,8 @@ class Trainer:
         # device-side input pipeline: prepare_fn(key, frames, landmarks)
         # turns a raw uint8 batch into the model batch on-device
         self.prepare_fn = prepare_fn
+        # >1: train_step is a make_multi_step scan expecting stacked batches
+        self.steps_per_call = steps_per_call
 
         from faceoff_tpu.train.observability import (
             MetricsWriter,
@@ -156,27 +159,55 @@ class Trainer:
         self.global_step = int(self.state.step)
         print(f"resumed from step {self.global_step}")
 
+    def _batch_stream(self):
+        """Yield (host batch or stacked K-batch, n_optimizer_steps)."""
+        import numpy as np
+
+        if self.steps_per_call <= 1:
+            for batch in self.train_loader:
+                yield batch, 1
+            return
+        acc = []
+        for batch in self.train_loader:
+            acc.append(batch)
+            if len(acc) == self.steps_per_call:
+                stacked = {
+                    k: np.stack([b[k] for b in acc]) for k in acc[0]
+                }
+                yield stacked, self.steps_per_call
+                acc = []
+
     def train_epoch(self, epoch: int):
         import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
         logger = MetricLogger()
         t0 = time.time()
-        for i, batch in enumerate(self.train_loader):
+        for i, (batch, n_steps) in enumerate(self._batch_stream()):
             first = next(iter(batch.values()))
-            frames = first.shape[0] * first.shape[1]
-            batch = shard_batch(batch, self.mesh)
+            if n_steps > 1:
+                # stacked (K, B, T, ...): clips shard over 'data' on axis 1
+                frames = int(np.prod(first.shape[:3]))
+                sharding = NamedSharding(self.mesh, P(None, "data"))
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch
+                )
+            else:
+                frames = first.shape[0] * first.shape[1]
+                batch = shard_batch(batch, self.mesh)
             # with a device pipeline the raw batch + key go straight into
             # the fused train step (input prep and optimization are one
             # XLA program)
-            key = None
-            if self.prepare_fn is not None:
-                key = jax.random.key(
-                    self.cfg.train.seed * 1_000_003 + self.global_step
-                )
+            base = jax.random.key(
+                self.cfg.train.seed * 1_000_003 + self.global_step
+            )
+            key = jax.random.split(base, n_steps) if n_steps > 1 else (
+                base if self.prepare_fn is not None else None
+            )
             self.state, metrics = self.train_step(
                 self.state, batch, self.lpips_vars, key
             )
-            self.global_step += 1
+            self.global_step += n_steps
             logger.update(metrics, frames)
             self.profiler.step(self.global_step)
 
