@@ -1,0 +1,95 @@
+"""Evaluation CLI: quantitative reconstruction report on a validation set.
+
+Fills the reference's evaluation gap (visual-only validation, SURVEY §4):
+computes MSE / L1 / PSNR / SSIM / LPIPS over the self-supervised
+validation items and prints one JSON report.
+
+    python -m faceoff_tpu.cli.evaluate --data_root DATA \
+        --checkpoint_dir CKPT [--ckpt STEP] [--lpips_weights W.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+from faceoff_tpu.data.pipeline import DataLoader
+from faceoff_tpu.evaluation import evaluate_reconstruction
+from faceoff_tpu.io.checkpoint import CheckpointManager
+from faceoff_tpu.models import VQVAE
+from faceoff_tpu.models.lpips import init_lpips
+from faceoff_tpu.train import create_train_state, make_eval_step
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--max_batches", type=int, default=16)
+    p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--num_workers", type=int, default=4)
+    args = p.parse_args(argv)
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    sample = jnp.zeros((1, args.frames, args.size, args.size, 6), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), sample)
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore_weights(
+        state, None if args.ckpt in (None, "latest") else int(args.ckpt)
+    )
+    eval_step = make_eval_step(model)
+
+    lpips_model, lpips_vars = init_lpips(
+        jax.random.key(1), image_size=args.size,
+        weights_npz=args.lpips_weights,
+    )
+    lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
+
+    ds = TemporalAlignmentDataset(
+        args.data_root, "val", args.frames, resolution=args.size
+    )
+    loader = DataLoader(
+        ds, batch_clips=1, shuffle=False, num_workers=args.num_workers
+    )
+
+    reports = []
+    for i, batch in enumerate(loader):
+        if i >= args.max_batches:
+            break
+        out, _ = eval_step(
+            state,
+            {
+                "input": jnp.asarray(batch["input"]),
+                "gt": jnp.asarray(batch["gt"]),
+            },
+        )
+        rep = evaluate_reconstruction(
+            out, jnp.asarray(batch["gt"]),
+            lpips_apply=lpips_apply, lpips_vars=lpips_vars,
+        )
+        reports.append({k: float(v) for k, v in rep.items()})
+
+    summary = {
+        k: round(float(np.mean([r[k] for r in reports])), 5)
+        for k in reports[0]
+    }
+    summary["n_clips"] = len(reports)
+    summary["checkpoint_step"] = int(state.step)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,8 +67,10 @@ def run_validation(
 ) -> Dict[str, float]:
     """Write the five validation mp4 streams per batch
     (reference train_faceoff_perceptual.py:53-79) and return mean metrics."""
+    from faceoff_tpu.evaluation import evaluate_reconstruction
+
     os.makedirs(sample_folder, exist_ok=True)
-    mses = []
+    reports = []
     for i, batch in enumerate(val_loader):
         if max_batches is not None and i >= max_batches:
             break
@@ -78,7 +80,8 @@ def run_validation(
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         out, metrics = eval_step(state, batch)
-        mses.append(float(metrics["mse"]))
+        rep = evaluate_reconstruction(out, batch["gt"])
+        reports.append({k: float(v) for k, v in rep.items()})
 
         inp = np.asarray(batch["input"])
         saves = {
@@ -98,7 +101,16 @@ def run_validation(
                         sample_folder, f"{epoch + 1}_{step}_{i}_{name}.mp4"
                     ),
                 )
-    return {"val_mse": float(np.mean(mses)) if mses else float("nan")}
+    if not reports:
+        return {"val_mse": float("nan")}
+    summary = {
+        f"val_{k}": float(np.mean([r[k] for r in reports]))
+        for k in reports[0]
+    }
+    if is_primary():
+        line = "; ".join(f"{k}: {v:.4f}" for k, v in summary.items())
+        print(f"validation: {line}", flush=True)
+    return summary
 
 
 class Trainer:
