@@ -368,11 +368,17 @@ class TemporalAlignmentDataset:
 
 def pack_batch(items: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Stack per-clip dicts into (B, T, H, W, C) arrays and build the
-    6-channel model input (reference utils.py:29-38 process_data)."""
+    6-channel model input (reference utils.py:29-38 process_data). Extra
+    streams (e.g. cross-identity 'source_original',
+    reference train_faceoff_perceptual.py:57-67) pass through stacked."""
     source = np.stack([it["source"] for it in items])
     background = np.stack([it["background"] for it in items])
     gt = np.stack([it["gt"] for it in items])
-    return {
+    batch = {
         "input": np.concatenate([source, background], axis=-1),
         "gt": gt,
     }
+    for key in items[0]:
+        if key not in ("source", "background", "gt"):
+            batch[key] = np.stack([it[key] for it in items])
+    return batch

@@ -64,6 +64,41 @@ class TestShardedForward:
         )
         np.testing.assert_allclose(float(diff), float(ref_diff), rtol=1e-4)
 
+    def test_sharded_gan_steps(self, devices):
+        """GAN gen/disc steps run with clip-sharded batches over the mesh
+        (the reference's multi-GPU disc trainer path, DDP -> mesh)."""
+        from faceoff_tpu.models.discriminators import (
+            MultiscaleDiscriminator2D,
+            MultiscaleDiscriminator3D,
+        )
+        from faceoff_tpu.train import create_train_state
+        from faceoff_tpu.train.gan import create_gan_state, make_gan_steps
+
+        model = tiny_model()
+        d_img = MultiscaleDiscriminator2D(ndf=8, n_layers=2, num_D=2)
+        d_3d = MultiscaleDiscriminator3D(ndf=8, n_layers=2, num_D=2)
+        B, T, HW, SF = 8, 6, 32, 4
+        gt = jax.random.uniform(
+            jax.random.key(0), (B, T, HW, HW, 3), minval=-1, maxval=1
+        )
+        batch = {"input": jnp.concatenate([gt, gt], -1), "gt": gt}
+        gen_state = create_train_state(
+            model, jax.random.key(1), batch["input"], lr=1e-4
+        )
+        state = create_gan_state(
+            gen_state, d_img, d_3d, jax.random.key(2),
+            sample_frames=SF, image_hw=HW, disc_lr=1e-4,
+        )
+        gen_step, disc_step = make_gan_steps(
+            model, d_img, d_3d, sample_frames=SF, donate=False
+        )
+        mesh = make_mesh(data=8)
+        sharded = shard_batch(batch, mesh)
+        state, gm = gen_step(state, sharded, jax.random.key(3))
+        state, dm = disc_step(state, sharded, jax.random.key(4))
+        assert np.isfinite(float(gm["g_loss"]))
+        assert np.isfinite(float(dm["d_3d_loss"]))
+
     def test_data_time_combined(self, model_vars, devices):
         model, variables = model_vars
         video = jax.random.normal(jax.random.key(2), (4, 4, 32, 32, 6))
