@@ -33,7 +33,13 @@ class DataLoader:
         prefetch: int = 2,
         seed: int = 0,
         pack: Callable = pack_batch,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """shard_index/shard_count: multi-host data sharding — each process
+        iterates a disjoint 1/shard_count slice of every epoch (role of the
+        reference's DistributedSampler, distributed/distributed.py:135-143).
+        """
         self.dataset = dataset
         self.batch_clips = batch_clips
         self.shuffle = shuffle
@@ -42,14 +48,20 @@ class DataLoader:
         self.seed = seed
         self.pack = pack
         self.epoch = 0
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
 
     def __len__(self) -> int:
-        return max(1, len(self.dataset) // self.batch_clips)
+        per_shard = len(self.dataset) // self.shard_count
+        return max(1, per_shard // self.batch_clips)
 
     def _epoch_order(self) -> np.ndarray:
         order = np.arange(len(self.dataset))
         if self.shuffle:
+            # same permutation on every host; disjoint strided slices
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if self.shard_count > 1:
+            order = order[self.shard_index:: self.shard_count]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

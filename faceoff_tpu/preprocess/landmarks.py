@@ -77,17 +77,24 @@ def generate_landmarks_for_video(
 
 
 def generate_landmarks_for_dataset(
-    clips_root: str, *, landmarker=None, **kwargs
+    clips_root: str, *, landmarker=None, num_workers: int = 4, **kwargs
 ) -> Tuple[List[str], List[str]]:
-    """Process every clip under clips_root; returns (ok, quarantined) paths
-    (role of reference detect_face_generate_landmarks :218-361 +
-    thread-pool driver :364-379 — here the per-clip work is already batched
-    and the caller may parallelize over clips)."""
+    """Process every clip under clips_root in a worker pool; returns
+    (ok, quarantined) paths (reference detect_face_generate_landmarks
+    :218-361 + its ThreadPoolExecutor driver :364-379)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = sorted(glob(osp.join(clips_root, "**", "*.mp4"), recursive=True))
     ok_list: List[str] = []
     bad_list: List[str] = []
-    for path in sorted(glob(osp.join(clips_root, "**", "*.mp4"), recursive=True)):
+
+    def work(path):
         ok, _, _ = generate_landmarks_for_video(
             path, landmarker=landmarker, **kwargs
         )
-        (ok_list if ok else bad_list).append(path)
+        return path, ok
+
+    with ThreadPoolExecutor(max(1, num_workers)) as pool:
+        for path, ok in pool.map(work, paths):
+            (ok_list if ok else bad_list).append(path)
     return ok_list, bad_list
