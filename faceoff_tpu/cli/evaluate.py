@@ -27,6 +27,9 @@ from faceoff_tpu.train import create_train_state, make_eval_step
 
 
 def main(argv=None):
+    from faceoff_tpu.parallel.collectives import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_root", required=True)
     p.add_argument("--checkpoint_dir", required=True)

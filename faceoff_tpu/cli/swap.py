@@ -51,6 +51,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from faceoff_tpu.parallel.collectives import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     src_paths = _landmark_paths(args.source)

@@ -67,6 +67,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from faceoff_tpu.parallel.collectives import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.perceptual and args.sample_frames == 16:
         args.sample_frames = 12  # reference train_vqvae_perceptual_* :164

@@ -220,6 +220,9 @@ def build_everything(args):
 
 
 def main(argv=None):
+    from faceoff_tpu.parallel.collectives import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     run = random_run_name()
     args.sample_folder = f"{args.sample_folder}_{run}"

@@ -14,6 +14,20 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compilation_cache(path: str = "~/.cache/faceoff_tpu_xla") -> None:
+    """Persist XLA compilations across process restarts (first compile of
+    the fused train step is minutes; subsequent runs hit the cache)."""
+    import os
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(path)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover - version-dependent flags
+        print(f"compilation cache unavailable: {e}")
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host initialization (no-op on a single host).
 
