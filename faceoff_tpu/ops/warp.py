@@ -163,13 +163,13 @@ def convex_mask(
         proj = jnp.where(valid[None, :], proj, -jnp.inf)
     support = jnp.max(proj, axis=1)  # (K,)
 
+    # d·q for every pixel as one (H·W, 2) @ (2, K) matmul (MXU-shaped and
+    # cheap to constant-fold, unlike a (K, H, W) broadcast tensor)
     x, y = identity_grid(h, w)
-    # d·q for every pixel: (K, H, W)
-    dq = (
-        dirs[:, 0, None, None] * x[None] + dirs[:, 1, None, None] * y[None]
-    )
-    inside = jnp.all(dq <= support[:, None, None] + 0.5, axis=0)
-    return inside.astype(jnp.float32)
+    pix = jnp.stack([x.reshape(-1), y.reshape(-1)], axis=1)  # (H*W, 2)
+    dq = jnp.dot(pix, dirs.T, preferred_element_type=jnp.float32)
+    inside = jnp.all(dq <= support[None, :] + 0.5, axis=1)
+    return inside.reshape(h, w).astype(jnp.float32)
 
 
 def barrel_grid(
