@@ -237,6 +237,9 @@ def main():
 
 
 if __name__ == "__main__":
+    from faceoff_tpu.parallel.collectives import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode", choices=["step", "multi", "e2e", "e2e_host"],
