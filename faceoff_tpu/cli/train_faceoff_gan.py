@@ -106,8 +106,10 @@ def main(argv=None):
         lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
 
     ckpt = CheckpointManager(args.checkpoint_dir)
-    step_count = 0
 
+    # build the recipe: a `run_step(state, batch, step_count, key) ->
+    # (state, log line)` closure — one loop for all three adversarial
+    # recipes instead of the reference's five copy-pasted trainer files
     if args.gan == "mocoganhd":
         from faceoff_tpu.train.gan import create_gan_state, make_gan_steps
 
@@ -123,27 +125,17 @@ def main(argv=None):
             perceptual_loss_weight=1.0 if args.perceptual else 0.0,
             lpips_apply=lpips_apply,
         )
-        for epoch in range(args.epoch):
-            for i, batch in enumerate(loader):
-                key = jax.random.key(args.seed * 100003 + step_count)
-                # alternate gen/disc (reference :187-190)
-                if step_count % 2 == 0:
-                    state, m = gen_step(state, batch, key, lpips_vars)
-                    line = f"gen loss: {float(m['g_loss']):.5f}"
-                else:
-                    state, m = disc_step(state, batch, key)
-                    line = (f"disc 3d: {float(m['d_3d_loss']):.5f} "
-                            f"img: {float(m['d_img_loss']):.5f}")
-                step_count += 1
-                if step_count % 10 == 0:
-                    print(f"epoch {epoch + 1} step {step_count}; {line}",
-                          flush=True)
-                if step_count % args.validate_at == 0:
-                    ckpt.save(step_count, state.gen)
-                if args.steps and step_count >= args.steps:
-                    break
-            if args.steps and step_count >= args.steps:
-                break
+
+        def run_step(state, batch, step_count, key):
+            # alternate gen/disc (reference :187-190)
+            if step_count % 2 == 0:
+                state, m = gen_step(state, batch, key, lpips_vars)
+                return state, f"gen loss: {float(m['g_loss']):.5f}"
+            state, m = disc_step(state, batch, key)
+            return state, (
+                f"disc 3d: {float(m['d_3d_loss']):.5f} "
+                f"img: {float(m['d_img_loss']):.5f}"
+            )
 
     elif args.gan == "mocogan":
         from faceoff_tpu.train.mocogan import (
@@ -163,25 +155,14 @@ def main(argv=None):
             perceptual_loss_weight=1.0 if args.perceptual else 0.0,
             lpips_apply=lpips_apply,
         )
-        for epoch in range(args.epoch):
-            for i, batch in enumerate(loader):
-                key = jax.random.key(args.seed * 100003 + step_count)
-                state, m = step(state, batch, key, lpips_vars)
-                step_count += 1
-                if step_count % 10 == 0:
-                    print(
-                        f"epoch {epoch + 1} step {step_count}; "
-                        f"gen: {float(m['g_loss']):.5f} "
-                        f"d_img: {float(m['d_img_loss']):.5f} "
-                        f"d_vid: {float(m['d_vid_loss']):.5f}",
-                        flush=True,
-                    )
-                if step_count % args.validate_at == 0:
-                    ckpt.save(step_count, state.gen)
-                if args.steps and step_count >= args.steps:
-                    break
-            if args.steps and step_count >= args.steps:
-                break
+
+        def run_step(state, batch, step_count, key):
+            state, m = step(state, batch, key, lpips_vars)
+            return state, (
+                f"gen: {float(m['g_loss']):.5f} "
+                f"d_img: {float(m['d_img_loss']):.5f} "
+                f"d_vid: {float(m['d_vid_loss']):.5f}"
+            )
 
     else:  # vqgan
         from faceoff_tpu.train.vqgan import create_vqgan_state, make_vqgan_steps
@@ -194,24 +175,36 @@ def main(argv=None):
         gen_step, disc_step = make_vqgan_steps(
             model, disc, lpips_apply=lpips_apply
         )
-        for epoch in range(args.epoch):
-            for i, batch in enumerate(loader):
-                if step_count % 2 == 0:
-                    state, m = gen_step(state, batch, lpips_vars)
-                    line = f"gen loss: {float(m['g_loss']):.5f}"
-                else:
-                    state, m = disc_step(state, batch)
-                    line = f"disc loss: {float(m['d_loss']):.5f}"
-                step_count += 1
-                if step_count % 10 == 0:
-                    print(f"epoch {epoch + 1} step {step_count}; {line}",
-                          flush=True)
-                if step_count % args.validate_at == 0:
-                    ckpt.save(step_count, state.gen)
-                if args.steps and step_count >= args.steps:
-                    break
+
+        def run_step(state, batch, step_count, key):
+            if step_count % 2 == 0:
+                state, m = gen_step(state, batch, lpips_vars)
+                return state, f"gen loss: {float(m['g_loss']):.5f}"
+            state, m = disc_step(state, batch)
+            return state, f"disc loss: {float(m['d_loss']):.5f}"
+
+    # -- the one training loop
+    step_count = 0
+    done = False
+    for epoch in range(args.epoch):
+        for batch in loader:
+            key = jax.random.key(args.seed * 100003 + step_count)
+            batch = {
+                "input": jnp.asarray(batch["input"]),
+                "gt": jnp.asarray(batch["gt"]),
+            }
+            state, line = run_step(state, batch, step_count, key)
+            step_count += 1
+            if step_count % 10 == 0:
+                print(f"epoch {epoch + 1} step {step_count}; {line}",
+                      flush=True)
+            if step_count % args.validate_at == 0:
+                ckpt.save(step_count, state.gen)
             if args.steps and step_count >= args.steps:
+                done = True
                 break
+        if done:
+            break
 
     ckpt.save(max(step_count, 1), state.gen)
     print(f"done: {step_count} steps; generator checkpoint saved")
