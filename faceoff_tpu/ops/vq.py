@@ -152,6 +152,29 @@ def vq_ema_update(
     return VQCodebook(embed=embed, cluster_size=cluster_size, embed_avg=embed_avg)
 
 
+def revive_dead_codes(
+    codebook: VQCodebook,
+    flat: jnp.ndarray,
+    key: jax.Array,
+    *,
+    usage_threshold: float = 1e-3,
+) -> VQCodebook:
+    """Re-seed codes whose EMA usage has collapsed with random batch
+    vectors (standard VQ-VAE dead-code restart; not in the reference —
+    its codebooks can permanently collapse). Call periodically from the
+    training loop with a batch of encoder outputs."""
+    n_embed = codebook.n_embed
+    dead = codebook.cluster_size < usage_threshold  # (n_embed,)
+    idx = jax.random.randint(key, (n_embed,), 0, flat.shape[0])
+    replacements = flat.astype(jnp.float32)[idx].T  # (dim, n_embed)
+    embed = jnp.where(dead[None, :], replacements, codebook.embed)
+    embed_avg = jnp.where(dead[None, :], replacements, codebook.embed_avg)
+    cluster_size = jnp.where(dead, 1.0, codebook.cluster_size)
+    return VQCodebook(
+        embed=embed, cluster_size=cluster_size, embed_avg=embed_avg
+    )
+
+
 def vq_quantize_train(
     codebook: VQCodebook,
     x: jnp.ndarray,

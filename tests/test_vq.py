@@ -124,3 +124,31 @@ class TestPerplexity:
         idx = jnp.zeros((16,), jnp.int32)
         p = vq_ops.codebook_perplexity(idx, 4)
         np.testing.assert_allclose(float(p), 1.0, rtol=1e-4)
+
+
+class TestDeadCodeRevival:
+    def test_dead_codes_reseeded(self):
+        cb = make_codebook(dim=4, n_embed=8)
+        # kill usage of half the codes
+        cb = cb._replace(
+            cluster_size=jnp.array([0.0, 5, 0, 5, 0, 5, 0, 5])
+        )
+        flat = jax.random.normal(jax.random.key(0), (64, 4)) + 10.0
+        new = vq_ops.revive_dead_codes(cb, flat, jax.random.key(1))
+        dead = np.array([0, 2, 4, 6])
+        alive = np.array([1, 3, 5, 7])
+        # dead codes moved into the data's range (mean ~10)
+        assert np.asarray(new.embed).T[dead].mean() > 5.0
+        np.testing.assert_array_equal(
+            np.asarray(new.embed).T[alive], np.asarray(cb.embed).T[alive]
+        )
+        assert float(new.cluster_size[0]) == 1.0
+
+    def test_no_dead_codes_noop(self):
+        cb = make_codebook(dim=4, n_embed=8)
+        cb = cb._replace(cluster_size=jnp.ones(8))
+        flat = jax.random.normal(jax.random.key(0), (16, 4))
+        new = vq_ops.revive_dead_codes(cb, flat, jax.random.key(1))
+        np.testing.assert_array_equal(
+            np.asarray(new.embed), np.asarray(cb.embed)
+        )
