@@ -245,7 +245,11 @@ class Trainer:
                     self.ckpt.save(self.global_step, self.state)
                 return logger
 
-            if i % self.cfg.train.validate_at == 0:
+            # validation on a global-step cadence (the reference's
+            # `i % validate_at == 0` re-validates at the start of every
+            # epoch, train_faceoff_perceptual.py:135 — a waste at short
+            # epochs)
+            if self.global_step % self.cfg.train.validate_at == 0:
                 self.validate(epoch, i)
         return logger
 
