@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os.path as osp
 
 
 def main(argv=None):

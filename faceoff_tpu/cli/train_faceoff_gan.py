@@ -22,7 +22,6 @@ import argparse
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader

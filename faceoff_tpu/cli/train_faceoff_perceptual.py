@@ -16,8 +16,6 @@ checkpoints are orbax directories holding full train state.
 from __future__ import annotations
 
 import argparse
-import os
-import os.path as osp
 import random
 import string
 

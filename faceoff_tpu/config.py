@@ -9,7 +9,7 @@ one dataclass tree; CLI entry points parse flags into it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

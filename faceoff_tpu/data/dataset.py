@@ -24,7 +24,6 @@ Randomness is explicit per call (numpy Generator) for reproducibility.
 
 from __future__ import annotations
 
-import os
 import os.path as osp
 from glob import glob
 from typing import Dict, List, Optional, Sequence, Tuple

@@ -18,7 +18,7 @@ Randomness is a JAX PRNG key — bitwise reproducible across hosts/devices.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

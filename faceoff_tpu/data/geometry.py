@@ -15,7 +15,7 @@ face_translation_videos3_utils.py:144).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import cv2
 import numpy as np

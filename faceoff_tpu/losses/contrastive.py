@@ -8,9 +8,8 @@ usable as an optional identity-preservation term.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -23,7 +23,7 @@ Weight init follows the reference's normal(0, 0.02)
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

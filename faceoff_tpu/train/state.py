@@ -8,7 +8,7 @@ pytree checkpoints through orbax, so resume is exact.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
