@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15")
     p.add_argument("--seed", type=int, default=0)
+    # model-size overrides (reference hardcodes channel=128 etc.,
+    # models/vqvae_conv3d_latent.py:192-201)
+    p.add_argument("--channel", type=int, default=128)
+    p.add_argument("--n_res_block", type=int, default=2)
+    p.add_argument("--n_res_channel", type=int, default=32)
+    p.add_argument("--embed_dim", type=int, default=64)
+    p.add_argument("--n_embed", type=int, default=512)
     return p
 
 
@@ -85,7 +92,14 @@ def random_run_name(n: int = 5) -> str:
 
 def build_everything(args):
     cfg = config_lib.Config(
-        model=config_lib.ModelConfig(use_pallas_vq=not args.no_pallas),
+        model=config_lib.ModelConfig(
+            use_pallas_vq=not args.no_pallas,
+            channel=args.channel,
+            n_res_block=args.n_res_block,
+            n_res_channel=args.n_res_channel,
+            embed_dim=args.embed_dim,
+            n_embed=args.n_embed,
+        ),
         data=config_lib.DataConfig(
             data_root=args.data_root,
             resolution=args.size,

@@ -16,10 +16,16 @@ import jax.numpy as jnp
 
 def enable_compilation_cache(path: str = "~/.cache/faceoff_tpu_xla") -> None:
     """Persist XLA compilations across process restarts (first compile of
-    the fused train step is minutes; subsequent runs hit the cache)."""
+    the fused train step is minutes; subsequent runs hit the cache).
+
+    TPU-only: XLA:CPU persists AOT machine code whose target features can
+    mismatch across hosts (SIGILL risk), so the cache stays off for CPU
+    runs."""
     import os
 
     try:
+        if jax.default_backend() != "tpu":
+            return
         jax.config.update(
             "jax_compilation_cache_dir", os.path.expanduser(path)
         )
