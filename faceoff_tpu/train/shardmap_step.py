@@ -1,0 +1,98 @@
+"""Explicit-collectives train step via shard_map.
+
+The default train step relies on `jax.jit`'s automatic partitioner to
+insert collectives. This module provides the same optimizer step as an
+explicit SPMD program — `shard_map` over the 'data' mesh axis with manual
+`psum`s — for users who want the collectives visible and controllable
+(the direct analogue of the reference's DDP bucket all-reduce + in-forward
+NCCL all_reduce, distributed/distributed.py:64 and
+models/vqvae_conv3d_latent.py:63-64):
+
+  * per-shard forward/backward on the local clip shard,
+  * `psum` of gradients, losses and metrics over 'data',
+  * VQ codebook statistics psum'd *inside* the quantizer (the model is
+    built with `axis_name='data'`, see ops/vq.vq_ema_update),
+  * identical replicated parameter update on every shard.
+
+Numerically matches the automatic-partitioner step; tested on the virtual
+8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from faceoff_tpu.losses import mse_loss
+from faceoff_tpu.ops import video as video_ops
+from faceoff_tpu.train.state import TrainState
+
+
+def make_shardmap_train_step(
+    model,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    latent_loss_weight: float = 1.0,
+    perceptual_loss_weight: float = 1.0,
+    lpips_apply: Optional[Callable] = None,
+):
+    """Build a shard_map train step. The model MUST be constructed with
+    `axis_name=axis` so the VQ EMA statistics psum over the mesh."""
+
+    def local_loss(params, vq, batch, lpips_vars):
+        (dec, latent_loss), updates = model.apply(
+            {"params": params, "vq": vq},
+            batch["input"],
+            train=True,
+            mutable=["vq"],
+        )
+        out = dec[..., :3]
+        recon = mse_loss(out, batch["gt"])
+        perceptual = jnp.zeros((), jnp.float32)
+        if lpips_apply is not None:
+            perceptual = lpips_apply(
+                lpips_vars,
+                video_ops.fold_time(batch["gt"]),
+                video_ops.fold_time(out),
+            )
+        loss = (
+            recon
+            + latent_loss_weight * latent_loss
+            + perceptual_loss_weight * perceptual
+        )
+        metrics = {
+            "loss": loss, "mse": recon, "latent": latent_loss,
+            "perceptual": perceptual,
+        }
+        return loss, (updates["vq"], metrics)
+
+    def shard_fn(state: TrainState, batch, lpips_vars):
+        # per-shard grads on the local clips
+        (_, (new_vq, metrics)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(state.params, state.vq, batch, lpips_vars)
+
+        # explicit ICI collectives: mean-reduce grads and metrics
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        # new_vq came out of the quantizer already psum'd (axis_name set),
+        # so it is identical on every shard.
+        new_state = state.apply_gradients(grads, new_vq)
+        return new_state, metrics
+
+    from jax.experimental.shard_map import shard_map
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
