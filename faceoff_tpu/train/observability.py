@@ -22,20 +22,31 @@ from typing import Dict, Optional
 
 
 class MetricsWriter:
+    """Buffered: `write` enqueues (device scalars stay on device so the
+    training loop never syncs); `flush` materializes and appends. A
+    per-step float() read would serialize dispatch — see MetricLogger."""
+
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._f = open(path, "a", buffering=1)
+        self._buffer = []
 
     def write(self, step: int, metrics: Dict[str, float], **extra) -> None:
-        record = {"step": step, "time": time.time(), **extra}
-        for k, v in metrics.items():
-            try:
-                record[k] = float(v)
-            except (TypeError, ValueError):
-                pass
-        self._f.write(json.dumps(record) + "\n")
+        self._buffer.append((step, time.time(), metrics, extra))
+
+    def flush(self) -> None:
+        for step, t, metrics, extra in self._buffer:
+            record = {"step": step, "time": t, **extra}
+            for k, v in metrics.items():
+                try:
+                    record[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
+            self._f.write(json.dumps(record) + "\n")
+        self._buffer.clear()
 
     def close(self) -> None:
+        self.flush()
         self._f.close()
 
 

@@ -26,27 +26,49 @@ from faceoff_tpu.parallel import is_primary, make_mesh, shard_batch
 from faceoff_tpu.train.state import current_lr
 
 
+def _raw_lr(state):
+    """Injected learning rate as a device scalar (no host sync)."""
+    try:
+        return state.opt_state.hyperparams["learning_rate"]
+    except (AttributeError, KeyError, TypeError):
+        return float("nan")
+
+
 class MetricLogger:
     """Running scalar aggregation + console line (replaces the reference's
     tqdm bar + pickle all_gather of mse sums,
-    train_faceoff_perceptual.py:113-133)."""
+    train_faceoff_perceptual.py:113-133).
+
+    LAZY: per-step metrics are kept as device scalars and only read to
+    host at log/flush time. A per-step `float()` is a device->host sync
+    that serializes dispatch (profiled at ~200 ms/step on a tunneled
+    host); deferring it lets steps pipeline."""
 
     def __init__(self):
+        self._pending = []  # (metrics dict of device scalars, frames)
         self.mse_sum = 0.0
         self.mse_n = 0
         self.perceptual = []
 
     def update(self, metrics: Dict[str, Any], frames: int):
-        self.mse_sum += float(metrics["mse"]) * frames
-        self.mse_n += frames
-        if "perceptual" in metrics:
-            self.perceptual.append(float(metrics["perceptual"]))
+        self._pending.append((metrics, frames))
+
+    def materialize(self):
+        """Read all pending device scalars to host (cheap once the steps
+        have actually finished executing)."""
+        for metrics, frames in self._pending:
+            self.mse_sum += float(metrics["mse"]) * frames
+            self.mse_n += frames
+            if "perceptual" in metrics:
+                self.perceptual.append(float(metrics["perceptual"]))
+        self._pending.clear()
 
     @property
     def avg_mse(self) -> float:
         return self.mse_sum / max(self.mse_n, 1)
 
     def line(self, epoch: int, metrics: Dict[str, Any], lr: float) -> str:
+        self.materialize()
         perc = np.mean(self.perceptual) if self.perceptual else 0.0
         return (
             f"epoch: {epoch + 1}; mse: {float(metrics['mse']):.5f}; "
@@ -224,9 +246,10 @@ class Trainer:
             self.profiler.step(self.global_step)
 
             if self.metrics_writer is not None:
+                # lr rides along as a device scalar; floats happen at flush
                 self.metrics_writer.write(
-                    self.global_step, metrics, epoch=epoch,
-                    lr=current_lr(self.state),
+                    self.global_step, {**metrics, "lr": _raw_lr(self.state)},
+                    epoch=epoch,
                 )
 
             if is_primary() and i % self.log_every == 0:
@@ -238,6 +261,8 @@ class Trainer:
                     + f"; frames/s: {fps:.1f}",
                     flush=True,
                 )
+                if self.metrics_writer is not None:
+                    self.metrics_writer.flush()
 
             if self.preemption.should_stop:
                 print("preemption requested: saving and stopping", flush=True)
@@ -251,6 +276,9 @@ class Trainer:
             # epochs)
             if self.global_step % self.cfg.train.validate_at == 0:
                 self.validate(epoch, i)
+        logger.materialize()
+        if self.metrics_writer is not None:
+            self.metrics_writer.flush()
         return logger
 
     def validate(self, epoch: int, step: int):
