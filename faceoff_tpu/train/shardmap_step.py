@@ -86,13 +86,13 @@ def make_shardmap_train_step(
         new_state = state.apply_gradients(grads, new_vq)
         return new_state, metrics
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mapped = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)

@@ -195,8 +195,6 @@ class Trainer:
 
     def _batch_stream(self):
         """Yield (host batch or stacked K-batch, n_optimizer_steps)."""
-        import numpy as np
-
         if self.steps_per_call <= 1:
             for batch in self.train_loader:
                 yield batch, 1
@@ -212,7 +210,6 @@ class Trainer:
                 acc = []
 
     def train_epoch(self, epoch: int):
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         logger = MetricLogger()

@@ -94,7 +94,7 @@ class TestCrossDevice:
         """Sharded stats + psum == global stats (the reference's NCCL
         all_reduce semantics, models/vqvae_conv3d_latent.py:60-64)."""
         from jax.sharding import Mesh, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         cb = make_codebook(dim=4, n_embed=8)
         x = jax.random.normal(jax.random.key(8), (8 * 16, 4))
