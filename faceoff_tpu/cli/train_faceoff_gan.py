@@ -56,7 +56,12 @@ def build_parser():
                         "variant, reference :164)")
     p.add_argument("--validate_at", type=int, default=1024)
     p.add_argument("--num_workers", type=int, default=8)
-    p.add_argument("--ckpt", default=None)
+    p.add_argument("--ckpt", default=None,
+                   help="step or 'latest': initialize the generator from a "
+                        "perceptual-stage checkpoint in --gen_checkpoint_dir "
+                        "(the reference's pretrain -> GAN-finetune workflow)")
+    p.add_argument("--gen_checkpoint_dir", default=None,
+                   help="checkpoint dir of the pretrained generator")
     p.add_argument("--checkpoint_dir", default="gan_checkpoint")
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -95,6 +100,17 @@ def main(argv=None):
     )
     tx = make_optimizer(args.lr)
     gen_state = create_train_state(model, jax.random.key(args.seed), sample, tx=tx)
+
+    # warm-start the generator from a perceptual-stage checkpoint
+    # (the reference loads the vqvae ckpt before GAN fine-tuning,
+    # disc_trainers/train_vqvae_mocoganhd_disc_single.py:350-360)
+    if args.ckpt is not None:
+        src_dir = args.gen_checkpoint_dir or args.checkpoint_dir
+        src = CheckpointManager(src_dir)
+        step = None if args.ckpt == "latest" else int(args.ckpt)
+        gen_state = src.restore_weights(gen_state, step)
+        print(f"generator warm-started from {src_dir} @ step "
+              f"{int(gen_state.step)}", flush=True)
 
     lpips_apply = lpips_vars = None
     if args.perceptual or args.gan == "vqgan":

@@ -25,7 +25,9 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(_savable(state)))
+        # PyTree handler throughout so full and partial (weights-only)
+        # restores share one registered handler per manager
+        self._mgr.save(step, args=ocp.args.PyTreeSave(_savable(state)))
         self._mgr.wait_until_finished()
 
     def restore(self, state: Any, step: Optional[int] = None) -> Any:
@@ -36,7 +38,7 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(_savable(state))
+            step, args=ocp.args.PyTreeRestore(item=_savable(state))
         )
         return state.replace(**restored)
 

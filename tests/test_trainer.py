@@ -115,3 +115,35 @@ class TestCheckpoint:
         restored, metrics = trainer.train_step(restored, b, None)
         assert np.isfinite(float(metrics["loss"]))
         mgr.close()
+
+
+class TestWarmStart:
+    def test_gan_generator_warm_start(self, synth_root, tmp_path):
+        """restore_weights loads perceptual-stage weights into a fresh
+        generator state regardless of optimizer (the pretrain ->
+        GAN-finetune workflow)."""
+        from faceoff_tpu.train.state import make_optimizer
+
+        trainer = build_trainer(synth_root, tmp_path)
+        batch = next(iter(trainer.train_loader))
+        from faceoff_tpu.parallel import shard_batch
+
+        b = shard_batch(batch, trainer.mesh)
+        trainer.state, _ = trainer.train_step(trainer.state, b, None)
+        mgr = CheckpointManager(str(tmp_path / "warm"), keep=1)
+        mgr.save(1, trainer.state)
+
+        # fresh state under a DIFFERENT optimizer (adam b1=0.5 like the
+        # GAN stage) still restores the weights
+        sample = jnp.zeros((1, 4, 64, 64, 6))
+        fresh = create_train_state(
+            tiny_model(), jax.random.key(99), sample,
+            tx=make_optimizer(1e-4, b1=0.5),
+        )
+        restored = mgr.restore_weights(fresh)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(trainer.state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        mgr.close()
