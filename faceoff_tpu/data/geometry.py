@@ -177,6 +177,59 @@ def poisson_blend(
     return np.clip(out, 0.0, 1.0)
 
 
+def generate_aligned_image(
+    source_landmarks: np.ndarray,
+    target_landmarks: np.ndarray,
+    source_image: np.ndarray,
+    target_image: np.ndarray,
+    *,
+    enlargement: int = 5,
+    require_full_mask: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Eye-geometry alignment variant of the face transfer
+    (reference face_translation_videos3_utils.py:196-254
+    generate_aligned_image): instead of a least-squares fit over the 5
+    stable landmarks, the source face is rotated by the eye-roll
+    difference, scaled by the inter-eye distance ratio, and translated to
+    the target's eye centre — one cv2 rotation matrix with an added
+    translation component."""
+    src_rot, src_center, src_dist = eye_geometry(source_landmarks)
+    tgt_rot, tgt_center, tgt_dist = eye_geometry(target_landmarks)
+
+    angle = src_rot - tgt_rot  # target conditioned on source orientation
+    scale = tgt_dist / max(src_dist, 1e-6)
+    M = cv2.getRotationMatrix2D(src_center, angle, scale)
+    M[0, 2] += tgt_center[0] - src_center[0]
+    M[1, 2] += tgt_center[1] - src_center[1]
+
+    if require_full_mask:
+        src_mask = convex_hull_mask(source_image.shape, source_landmarks)
+    else:
+        src_mask = enlarge_mask(
+            convex_hull_mask(source_image.shape, source_landmarks[HULL_SLICE]),
+            enlargement,
+        )
+    src_face = apply_mask(src_mask, source_image)
+    hw = source_image.shape[:2]
+    warped_face = warp_affine(src_face, M, hw, interp=cv2.INTER_CUBIC)
+    warped_mask = warp_affine(src_mask, M, hw, interp=cv2.INTER_CUBIC)
+    warped_source = warp_affine(source_image, M, hw, interp=cv2.INTER_CUBIC)
+
+    tgt_mask_full = convex_hull_mask(target_image.shape, target_landmarks)
+    target_without_face = apply_mask(255 - tgt_mask_full, target_image)
+    combined = combine_images(target_without_face, warped_face)
+
+    return {
+        "source_face_transformed": warped_face,
+        "source_mask_transformed": warped_mask,
+        "source_image_transformed": warped_source,
+        "target_image": target_image,
+        "target_mask_inv": 255 - tgt_mask_full,
+        "combined": combined,
+        "transform": M,
+    }
+
+
 def generate_warped_image(
     source_landmarks: np.ndarray,
     target_landmarks: np.ndarray,

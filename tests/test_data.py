@@ -214,3 +214,24 @@ class TestLoader:
         n1 = sum(1 for _ in loader)
         assert loader.epoch == 1
         assert n1 == len(loader)
+
+
+class TestAlignedImage:
+    def test_eye_alignment_transfer(self, synth_root):
+        from faceoff_tpu.data.dataset import _landmark_paths, load_frame
+        from faceoff_tpu.data.geometry import generate_aligned_image
+
+        vids = list_videos(synth_root)
+        s_img, s_lms = load_frame(_landmark_paths(vids[0])[0], 128)
+        t_img, t_lms = load_frame(_landmark_paths(vids[1])[0], 128)
+        out = generate_aligned_image(s_lms, t_lms, s_img, t_img)
+        assert out["combined"].shape == (128, 128, 3)
+        m = out["source_face_transformed"][..., 0] != 0
+        assert m.any()
+        # face lands near the target's eye centre
+        from faceoff_tpu.data.geometry import eye_geometry
+
+        _, tgt_center, _ = eye_geometry(t_lms)
+        ys, xs = np.nonzero(m)
+        cx, cy = xs.mean(), ys.mean()
+        assert abs(cx - tgt_center[0]) < 25
