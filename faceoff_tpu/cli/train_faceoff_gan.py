@@ -67,6 +67,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=None,
                    help="optional hard cap on total steps (smoke runs)")
+    p.add_argument("--device_pipeline", action="store_true",
+                   help="run hull/perturb/composite on the accelerator "
+                        "(mocoganhd recipe only)")
     return p
 
 
@@ -89,10 +92,26 @@ def main(argv=None):
     ds = TemporalAlignmentDataset(
         args.data_root, "train", args.train_frames, resolution=args.size
     )
-    loader = DataLoader(
-        ds, batch_clips=args.batch_size, num_workers=args.num_workers,
-        seed=args.seed,
-    )
+    prepare_fn = None
+    if args.device_pipeline:
+        if args.gan != "mocoganhd":
+            raise SystemExit("--device_pipeline currently supports "
+                             "--gan mocoganhd only")
+        from faceoff_tpu.data.device_pipeline import (
+            RawClipLoader,
+            prepare_train_batch,
+        )
+
+        loader = RawClipLoader(
+            ds, batch_clips=args.batch_size, num_workers=args.num_workers,
+            seed=args.seed,
+        )
+        prepare_fn = prepare_train_batch
+    else:
+        loader = DataLoader(
+            ds, batch_clips=args.batch_size, num_workers=args.num_workers,
+            seed=args.seed,
+        )
 
     sample = jnp.zeros(
         (args.batch_size, args.train_frames, args.size, args.size, 6),
@@ -138,7 +157,7 @@ def main(argv=None):
         gen_step, disc_step = make_gan_steps(
             model, d_img, d_3d, sample_frames=args.sample_frames,
             perceptual_loss_weight=1.0 if args.perceptual else 0.0,
-            lpips_apply=lpips_apply,
+            lpips_apply=lpips_apply, prepare_fn=prepare_fn,
         )
 
         def run_step(state, batch, step_count, key):
@@ -205,8 +224,8 @@ def main(argv=None):
         for batch in loader:
             key = jax.random.key(args.seed * 100003 + step_count)
             batch = {
-                "input": jnp.asarray(batch["input"]),
-                "gt": jnp.asarray(batch["gt"]),
+                k: jnp.asarray(v) for k, v in batch.items()
+                if k in ("input", "gt", "frames", "landmarks")
             }
             state, line = run_step(state, batch, step_count, key)
             step_count += 1

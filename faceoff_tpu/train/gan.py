@@ -116,11 +116,26 @@ def make_gan_steps(
     g_2d_weight: float = 0.25,
     g_3d_weight: float = 0.25,
     lpips_apply=None,
+    prepare_fn=None,
     donate: bool = True,
 ):
     """Build (gen_step, disc_step). Set perceptual_loss_weight>0 with
     lpips_apply for the perceptual GAN variant (reference
-    disc_trainers/train_vqvae_perceptual_mocoganhd_disc.py:229-233)."""
+    disc_trainers/train_vqvae_perceptual_mocoganhd_disc.py:229-233).
+
+    prepare_fn: optional on-device input pipeline (see
+    faceoff_tpu.data.device_pipeline) — the steps then accept raw
+    {"frames", "landmarks"} batches and fuse the geometry into the same
+    XLA program."""
+
+    def maybe_prepare(batch, key):
+        if prepare_fn is not None and "frames" in batch:
+            return prepare_fn(
+                jax.random.fold_in(key, 1),
+                batch["frames"],
+                batch["landmarks"],
+            )
+        return batch
 
     def forward(params, vq, batch):
         (dec, latent), updates = model.apply(
@@ -143,6 +158,7 @@ def make_gan_steps(
         state: GANTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array,
         lpips_vars: Any = None,
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        batch = maybe_prepare(batch, key)
         t = batch["gt"].shape[1]
         start, frame_id, flip = rand_bits(key, t)
 
@@ -214,6 +230,7 @@ def make_gan_steps(
     def disc_step(
         state: GANTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        batch = maybe_prepare(batch, key)
         t = batch["gt"].shape[1]
         start, frame_id, flip = rand_bits(key, t)
 

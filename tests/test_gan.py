@@ -100,3 +100,40 @@ class TestGANSteps:
             )
         )
         assert moved_img and moved_3d
+
+
+def test_gan_steps_with_device_pipeline():
+    """Raw {frames, landmarks} batches prepare on-device inside the fused
+    GAN steps."""
+    from faceoff_tpu.data.device_pipeline import prepare_train_batch
+    from faceoff_tpu.data.synthetic import face_landmarks
+
+    model = VQVAE(
+        in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+        embed_dim=8, n_embed=32, dtype=jnp.float32,
+    )
+    d_img = MultiscaleDiscriminator2D(ndf=8, n_layers=2, num_D=2)
+    d_3d = MultiscaleDiscriminator3D(ndf=8, n_layers=2, num_D=2)
+    T = 6
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (1, T, HW, HW, 3)).astype(np.uint8)
+    lms = np.stack(
+        [[face_landmarks((HW / 2, HW / 2), HW * 0.3) for _ in range(T)]]
+    ).astype(np.float32)
+    raw = {"frames": jnp.asarray(frames), "landmarks": jnp.asarray(lms)}
+
+    gen_state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, T, HW, HW, 6)), lr=1e-4
+    )
+    state = create_gan_state(
+        gen_state, d_img, d_3d, jax.random.key(1),
+        sample_frames=SAMPLE_FRAMES, image_hw=HW, disc_lr=1e-4,
+    )
+    gen_step, disc_step = make_gan_steps(
+        model, d_img, d_3d, sample_frames=SAMPLE_FRAMES,
+        prepare_fn=prepare_train_batch, donate=False,
+    )
+    state, gm = gen_step(state, raw, jax.random.key(2))
+    state, dm = disc_step(state, raw, jax.random.key(3))
+    assert np.isfinite(float(gm["g_loss"]))
+    assert np.isfinite(float(dm["d_3d_loss"]))
