@@ -19,6 +19,8 @@ copy-pasted disc_trainers (SURVEY §3.6).
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import os.path as osp
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +37,23 @@ from faceoff_tpu.models.discriminators import (
 )
 from faceoff_tpu.models.lpips import init_lpips
 from faceoff_tpu.io.checkpoint import CheckpointManager
+from faceoff_tpu.parallel import is_primary, make_mesh, shard_batch
 from faceoff_tpu.train import create_train_state
 from faceoff_tpu.train.state import make_optimizer
+
+
+def _disc_bundle(state) -> dict:
+    """Everything in a composite GAN state except the generator — the
+    discriminators and their optimizer states, checkpointed alongside the
+    generator so adversarial fine-tuning resumes exactly (the reference
+    saves disc weights too and reloads them via --load_disc,
+    disc_trainers/train_vqvae_mocoganhd_disc_single.py:321-328,
+    train_vqvae_mocogan_disc.py:285-289)."""
+    return {
+        f.name: getattr(state, f.name)
+        for f in dataclasses.fields(state)
+        if f.metadata.get("pytree_node", True) and f.name != "gen"
+    }
 
 
 def build_parser():
@@ -60,9 +77,27 @@ def build_parser():
                    help="step or 'latest': initialize the generator from a "
                         "perceptual-stage checkpoint in --gen_checkpoint_dir "
                         "(the reference's pretrain -> GAN-finetune workflow)")
+    p.add_argument("--load_disc", action="store_true",
+                   help="with --ckpt: also restore the discriminators + "
+                        "their optimizers from <gen_checkpoint_dir>/disc "
+                        "(reference --load_disc, "
+                        "train_vqvae_mocogan_disc.py:285-289)")
+    p.add_argument("--resume", default=None,
+                   help="step or 'latest': exact-resume the FULL GAN state "
+                        "(generator + discriminators + all optimizers) from "
+                        "--checkpoint_dir")
     p.add_argument("--gen_checkpoint_dir", default=None,
                    help="checkpoint dir of the pretrained generator")
     p.add_argument("--checkpoint_dir", default="gan_checkpoint")
+    p.add_argument("--sample_folder", default="gan_samples",
+                   help="validation mp4 streams are written here at the "
+                        "--validate_at cadence (the reference GAN trainers "
+                        "dump sample videos the same way)")
+    p.add_argument("--metrics_path", default=None,
+                   help="append-only JSONL scalar log (one line per step)")
+    p.add_argument("--val_frames", type=int, default=30)
+    p.add_argument("--val_batches", type=int, default=2)
+    p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=None,
@@ -70,6 +105,14 @@ def build_parser():
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(mocoganhd recipe only)")
+    # model-size overrides (tiny configs for smoke tests)
+    p.add_argument("--channel", type=int, default=128)
+    p.add_argument("--n_res_block", type=int, default=2)
+    p.add_argument("--n_res_channel", type=int, default=32)
+    p.add_argument("--embed_dim", type=int, default=64)
+    p.add_argument("--n_embed", type=int, default=512)
+    p.add_argument("--ndf", type=int, default=64,
+                   help="discriminator base width")
     return p
 
 
@@ -82,9 +125,20 @@ def main(argv=None):
         args.sample_frames = 12  # reference train_vqvae_perceptual_* :164
     print(args, flush=True)
 
+    # batches shard over the 'data' mesh axis (the reference's flagship GAN
+    # trainer is multi-GPU DDP, train_vqvae_mocoganhd_disc.py:581-598):
+    # each step carries batch_size clips per device
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
     on_tpu = jax.default_backend() == "tpu"
     model = VQVAE(
         in_channels=6,
+        channel=args.channel,
+        n_res_block=args.n_res_block,
+        n_res_channel=args.n_res_channel,
+        embed_dim=args.embed_dim,
+        n_embed=args.n_embed,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=on_tpu,
     )
@@ -103,18 +157,18 @@ def main(argv=None):
         )
 
         loader = RawClipLoader(
-            ds, batch_clips=args.batch_size, num_workers=args.num_workers,
-            seed=args.seed,
+            ds, batch_clips=args.batch_size * n_dev,
+            num_workers=args.num_workers, seed=args.seed,
         )
         prepare_fn = prepare_train_batch
     else:
         loader = DataLoader(
-            ds, batch_clips=args.batch_size, num_workers=args.num_workers,
-            seed=args.seed,
+            ds, batch_clips=args.batch_size * n_dev,
+            num_workers=args.num_workers, seed=args.seed,
         )
 
     sample = jnp.zeros(
-        (args.batch_size, args.train_frames, args.size, args.size, 6),
+        (args.batch_size * n_dev, args.train_frames, args.size, args.size, 6),
         jnp.float32,
     )
     tx = make_optimizer(args.lr)
@@ -147,8 +201,8 @@ def main(argv=None):
     if args.gan == "mocoganhd":
         from faceoff_tpu.train.gan import create_gan_state, make_gan_steps
 
-        d_img = MultiscaleDiscriminator2D()
-        d_3d = MultiscaleDiscriminator3D(n_frames=args.sample_frames)
+        d_img = MultiscaleDiscriminator2D(ndf=args.ndf)
+        d_3d = MultiscaleDiscriminator3D(ndf=args.ndf, n_frames=args.sample_frames)
         state = create_gan_state(
             gen_state, d_img, d_3d, jax.random.key(args.seed + 2),
             sample_frames=args.sample_frames, image_hw=args.size,
@@ -161,15 +215,11 @@ def main(argv=None):
         )
 
         def run_step(state, batch, step_count, key):
-            # alternate gen/disc (reference :187-190)
+            # alternate gen/disc (reference :187-190); metrics stay device
+            # scalars — float() reads are deferred to the log cadence
             if step_count % 2 == 0:
-                state, m = gen_step(state, batch, key, lpips_vars)
-                return state, f"gen loss: {float(m['g_loss']):.5f}"
-            state, m = disc_step(state, batch, key)
-            return state, (
-                f"disc 3d: {float(m['d_3d_loss']):.5f} "
-                f"img: {float(m['d_img_loss']):.5f}"
-            )
+                return gen_step(state, batch, key, lpips_vars)
+            return disc_step(state, batch, key)
 
     elif args.gan == "mocogan":
         from faceoff_tpu.train.mocogan import (
@@ -177,8 +227,8 @@ def main(argv=None):
             make_mocogan_step,
         )
 
-        d_img = PatchImageDiscriminator()
-        d_vid = PatchVideoDiscriminator()
+        d_img = PatchImageDiscriminator(ndf=args.ndf)
+        d_vid = PatchVideoDiscriminator(ndf=args.ndf)
         state = create_mocogan_state(
             gen_state, d_img, d_vid, jax.random.key(args.seed + 2),
             frames=args.train_frames, image_hw=args.size,
@@ -191,17 +241,12 @@ def main(argv=None):
         )
 
         def run_step(state, batch, step_count, key):
-            state, m = step(state, batch, key, lpips_vars)
-            return state, (
-                f"gen: {float(m['g_loss']):.5f} "
-                f"d_img: {float(m['d_img_loss']):.5f} "
-                f"d_vid: {float(m['d_vid_loss']):.5f}"
-            )
+            return step(state, batch, key, lpips_vars)
 
     else:  # vqgan
         from faceoff_tpu.train.vqgan import create_vqgan_state, make_vqgan_steps
 
-        disc = NLayerDiscriminator()
+        disc = NLayerDiscriminator(ndf=args.ndf)
         state = create_vqgan_state(
             gen_state, disc, jax.random.key(args.seed + 2),
             image_hw=args.size, disc_lr=args.disc_lr,
@@ -212,36 +257,110 @@ def main(argv=None):
 
         def run_step(state, batch, step_count, key):
             if step_count % 2 == 0:
-                state, m = gen_step(state, batch, lpips_vars)
-                return state, f"gen loss: {float(m['g_loss']):.5f}"
-            state, m = disc_step(state, batch)
-            return state, f"disc loss: {float(m['d_loss']):.5f}"
+                return gen_step(state, batch, lpips_vars)
+            return disc_step(state, batch)
+
+    # resume paths: --resume restores the FULL adversarial state from this
+    # run's checkpoint_dir; --ckpt --load_disc additionally restores the
+    # discriminators saved next to a previous GAN run's generator
+    disc_ckpt = CheckpointManager(osp.join(args.checkpoint_dir, "disc"))
+    step0 = 0
+    if args.resume is not None:
+        step = (
+            ckpt.latest_step() if args.resume == "latest" else int(args.resume)
+        )
+        gen = ckpt.restore(state.gen, step)
+        bundle = disc_ckpt.restore(_disc_bundle(state), step)
+        state = state.replace(gen=gen, **bundle)
+        step0 = int(step)
+        print(f"resumed full GAN state @ step {step0}", flush=True)
+    elif args.ckpt is not None and args.load_disc:
+        src_dir = args.gen_checkpoint_dir or args.checkpoint_dir
+        src_disc = CheckpointManager(osp.join(src_dir, "disc"))
+        step = None if args.ckpt == "latest" else int(args.ckpt)
+        bundle = src_disc.restore(_disc_bundle(state), step)
+        state = state.replace(**bundle)
+        print(f"discriminators restored from {src_dir}/disc", flush=True)
+
+    # validation: reconstruction eval + the mp4 sample streams, same
+    # machinery as the perceptual trainer (the reference GAN trainers dump
+    # sample videos at cadence too)
+    from faceoff_tpu.train.train_step import make_eval_step
+    from faceoff_tpu.train.trainer import run_validation
+    from faceoff_tpu.train.observability import MetricsWriter, PreemptionGuard
+
+    eval_step = make_eval_step(model)
+    val_ds = TemporalAlignmentDataset(
+        args.data_root, "val", args.val_frames, resolution=args.size
+    )
+    val_loader = DataLoader(
+        val_ds, batch_clips=n_dev, shuffle=False, num_workers=2,
+        seed=args.seed,
+    )
+    metrics_writer = (
+        MetricsWriter(args.metrics_path) if args.metrics_path else None
+    )
+    preemption = PreemptionGuard()
+
+    def save_all(step_count):
+        if not is_primary():
+            return
+        ckpt.save(step_count, state.gen)
+        disc_ckpt.save(step_count, _disc_bundle(state))
+
+    def validate(epoch, step_count):
+        run_validation(
+            eval_step, state.gen, val_loader, args.sample_folder,
+            epoch, step_count, mesh=mesh, max_batches=args.val_batches,
+        )
+        save_all(step_count)
 
     # -- the one training loop
-    step_count = 0
+    step_count = step0
+    pending = []  # (step, device-scalar metrics) — host reads at log cadence
     done = False
     for epoch in range(args.epoch):
         for batch in loader:
             key = jax.random.key(args.seed * 100003 + step_count)
             batch = {
-                k: jnp.asarray(v) for k, v in batch.items()
+                k: v for k, v in batch.items()
                 if k in ("input", "gt", "frames", "landmarks")
             }
-            state, line = run_step(state, batch, step_count, key)
+            batch = shard_batch(batch, mesh)
+            state, m = run_step(state, batch, step_count, key)
             step_count += 1
-            if step_count % 10 == 0:
+            pending.append((step_count, epoch, m))
+            if step_count % args.log_every == 0:
+                for s, e, pm in pending:
+                    vals = {k: float(v) for k, v in pm.items()}
+                    if metrics_writer is not None:
+                        metrics_writer.write(s, vals, epoch=e)
+                line = " ".join(f"{k}: {v:.5f}" for k, v in vals.items())
                 print(f"epoch {epoch + 1} step {step_count}; {line}",
                       flush=True)
+                pending.clear()
+                if metrics_writer is not None:
+                    metrics_writer.flush()
+            if preemption.should_stop:
+                print("preemption: saving full GAN state", flush=True)
+                save_all(step_count)
+                done = True
+                break
             if step_count % args.validate_at == 0:
-                ckpt.save(step_count, state.gen)
+                validate(epoch, step_count)
             if args.steps and step_count >= args.steps:
                 done = True
                 break
         if done:
             break
 
-    ckpt.save(max(step_count, 1), state.gen)
-    print(f"done: {step_count} steps; generator checkpoint saved")
+    pending.clear()
+    save_all(max(step_count, 1))
+    if metrics_writer is not None:
+        metrics_writer.close()
+    print(f"done: {step_count} steps; full GAN state saved "
+          f"(generator in {args.checkpoint_dir}, discriminators in "
+          f"{args.checkpoint_dir}/disc)")
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ round-trips, so `--ckpt` resume is exact.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Optional
 
@@ -40,7 +41,7 @@ class CheckpointManager:
         restored = self._mgr.restore(
             step, args=ocp.args.PyTreeRestore(item=_savable(state))
         )
-        return state.replace(**restored)
+        return _rebuild(state, restored)
 
     def restore_weights(self, state: Any, step: Optional[int] = None) -> Any:
         """Restore only step/params/vq — optimizer state is ignored, so a
@@ -70,11 +71,37 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def _savable(state: Any) -> dict:
-    """The pytree fields of TrainState (tx is static and not saved)."""
-    return {
-        "step": state.step,
-        "params": state.params,
-        "vq": state.vq,
-        "opt_state": state.opt_state,
-    }
+def _savable(state: Any):
+    """Checkpointable view of a train state: the pytree fields of any
+    flax.struct dataclass as nested dicts (static fields like the optax
+    transforms are skipped — they are code, not state). Works for the
+    perceptual TrainState and for composite states such as GANTrainState
+    (gen + two discriminators + their optimizers), so the GAN stage can
+    resume exactly — unlike the reference, which saves only module
+    weights (disc_trainers/train_vqvae_mocoganhd_disc_single.py:321-328)."""
+    if isinstance(state, dict):
+        return {k: _savable(v) for k, v in state.items()}
+    if dataclasses.is_dataclass(state) and not isinstance(state, type):
+        return {
+            f.name: _savable(getattr(state, f.name))
+            for f in dataclasses.fields(state)
+            if f.metadata.get("pytree_node", True)
+        }
+    return state
+
+
+def _rebuild(template: Any, restored: Any):
+    """Inverse of _savable: pour the restored nested dict back into the
+    dataclass structure of `template` (which also supplies static fields)."""
+    if isinstance(template, dict) and isinstance(restored, dict):
+        out = dict(template)
+        out.update(
+            {k: _rebuild(template.get(k), v) for k, v in restored.items()}
+        )
+        return out
+    if dataclasses.is_dataclass(template) and not isinstance(template, type):
+        kwargs = {
+            k: _rebuild(getattr(template, k), v) for k, v in restored.items()
+        }
+        return template.replace(**kwargs)
+    return restored

@@ -56,6 +56,55 @@ class TestPerceptualCLI:
         assert len(vids) >= 4
 
 
+GAN_TINY_FLAGS = TINY_MODEL_FLAGS + ["--ndf", "8"]
+
+
+class TestGANCLI:
+    def test_sharded_train_and_exact_resume(self, synth_root, tmp_path):
+        """The GAN loop shards batches over the 8-device test mesh, writes
+        JSONL metrics + validation mp4 streams, checkpoints the FULL
+        adversarial state, and --resume continues from it exactly."""
+        from faceoff_tpu.cli.train_faceoff_gan import main
+
+        args = [
+            "--data_root", synth_root, "--gan", "mocoganhd",
+            "--size", "64", "--train_frames", "6", "--sample_frames", "4",
+            "--val_frames", "4", "--val_batches", "1",
+            "--num_workers", "1", "--log_every", "1", "--batch_size", "1",
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--sample_folder", str(tmp_path / "s"),
+            "--metrics_path", str(tmp_path / "m.jsonl"),
+            *GAN_TINY_FLAGS,
+        ]
+        main(args + ["--steps", "2", "--validate_at", "2"])
+        lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+        assert any("g_loss" in l for l in lines)
+        assert any("d_3d_loss" in l for l in lines)
+        assert glob(str(tmp_path / "s") + "/*.mp4")
+        # disc bundle checkpointed next to the generator
+        assert glob(str(tmp_path / "c" / "disc") + "/*")
+
+        main(args + ["--resume", "latest", "--steps", "4",
+                     "--validate_at", "100000"])
+        lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+        assert lines[-1]["step"] == 4  # continued, not restarted
+
+    @pytest.mark.parametrize("recipe", ["mocogan", "vqgan"])
+    def test_other_recipes_smoke(self, synth_root, tmp_path, recipe):
+        from faceoff_tpu.cli.train_faceoff_gan import main
+
+        main([
+            "--data_root", synth_root, "--gan", recipe,
+            "--size", "64", "--train_frames", "6", "--steps", "2",
+            "--val_frames", "4", "--validate_at", "100000",
+            "--num_workers", "1", "--log_every", "2", "--batch_size", "1",
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--sample_folder", str(tmp_path / "s"),
+            *GAN_TINY_FLAGS,
+        ])
+        assert glob(str(tmp_path / "c" / "disc") + "/*")
+
+
 class TestPreprocessCLI:
     def test_all_stages(self, tmp_path):
         from faceoff_tpu.cli.preprocess import main

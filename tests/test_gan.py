@@ -102,6 +102,55 @@ class TestGANSteps:
         assert moved_img and moved_3d
 
 
+def test_gan_state_checkpoint_roundtrip_exact(setup, tmp_path):
+    """The FULL adversarial state (gen + both discs + all optimizer states)
+    round-trips bit-exactly through the checkpoint manager — the reference
+    saves module weights only and silently resets disc optimizers on
+    resume (disc_trainers/train_vqvae_mocoganhd_disc_single.py:321-328)."""
+    import dataclasses
+
+    from faceoff_tpu.io.checkpoint import CheckpointManager
+
+    state, batch, gen_step, disc_step = setup
+    # advance a few steps so optimizer states are non-trivial
+    for i in range(3):
+        step = gen_step if i % 2 == 0 else disc_step
+        state, _ = step(state, batch, jax.random.key(i))
+
+    def bundle(s):
+        return {
+            f.name: getattr(s, f.name)
+            for f in dataclasses.fields(s)
+            if f.metadata.get("pytree_node", True) and f.name != "gen"
+        }
+
+    gen_mgr = CheckpointManager(str(tmp_path / "g"))
+    disc_mgr = CheckpointManager(str(tmp_path / "g" / "disc"))
+    gen_mgr.save(3, state.gen)
+    disc_mgr.save(3, bundle(state))
+
+    # restore into a freshly-initialized state: every leaf must match
+    fresh = state.replace(
+        gen=state.gen.replace(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree_util.tree_map(jnp.zeros_like, state.gen.params),
+        )
+    )
+    gen_restored = gen_mgr.restore(fresh.gen)
+    bundle_restored = disc_mgr.restore(bundle(fresh))
+    restored = fresh.replace(gen=gen_restored, **bundle_restored)
+
+    for a, b in zip(_flat(state), _flat(restored)):
+        np.testing.assert_array_equal(a, b)
+
+    # restored state trains identically to the original
+    s1, m1 = disc_step(state, batch, jax.random.key(99))
+    s2, m2 = disc_step(restored, batch, jax.random.key(99))
+    np.testing.assert_allclose(
+        float(m1["d_3d_loss"]), float(m2["d_3d_loss"]), rtol=1e-6
+    )
+
+
 def test_gan_steps_with_device_pipeline():
     """Raw {frames, landmarks} batches prepare on-device inside the fused
     GAN steps."""
