@@ -60,6 +60,17 @@ def main(argv=None):
         weights_npz=args.lpips_weights,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
+    if args.lpips_weights is None:
+        # a fixed-seed random VGG is a usable *training* signal but NOT the
+        # reference metric — report it under a different key so it is never
+        # mistaken for LPIPS parity (convert real weights with
+        # tools/convert_lpips.py from the taming vgg.pth)
+        print(
+            "WARNING: --lpips_weights not given; using a fixed-seed RANDOM "
+            "VGG. Reporting the metric as 'lpips_random_vgg' — it is NOT "
+            "comparable to the reference LPIPS.",
+            flush=True,
+        )
 
     ds = TemporalAlignmentDataset(
         args.data_root, "val", args.frames, resolution=args.size
@@ -83,7 +94,10 @@ def main(argv=None):
             out, jnp.asarray(batch["gt"]),
             lpips_apply=lpips_apply, lpips_vars=lpips_vars,
         )
-        reports.append({k: float(v) for k, v in rep.items()})
+        rep = {k: float(v) for k, v in rep.items()}
+        if args.lpips_weights is None and "lpips" in rep:
+            rep["lpips_random_vgg"] = rep.pop("lpips")
+        reports.append(rep)
 
     summary = {
         k: round(float(np.mean([r[k] for r in reports])), 5)

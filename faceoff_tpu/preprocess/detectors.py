@@ -154,31 +154,42 @@ class FaceAlignmentLandmarker:
     """face_alignment 2D 68-point landmarks with the reference's
     OOM-halving retry (reference landmark_generation.py:104-118)."""
 
-    def __init__(self, device: str = "cpu"):
+    def __init__(self, device: str = "cpu", batch_size: int = 32):
         import face_alignment
 
         self._fa = face_alignment.FaceAlignment(
             face_alignment.LandmarksType.TWO_D, device=device
         )
+        self.batch_size = batch_size
+
+    def _chunk(self, frames: List[np.ndarray]) -> List[Optional[np.ndarray]]:
+        res = []
+        for frame in frames:
+            pts = self._fa.get_landmarks(frame)
+            res.append(np.asarray(pts[0], np.float32) if pts else None)
+        return res
 
     def landmarks(
         self, frames_rgb: Sequence[np.ndarray]
     ) -> List[Optional[np.ndarray]]:
+        """Every frame is processed exactly once: work advances chunk by
+        chunk; an OOM-style RuntimeError halves the chunk size and retries
+        the SAME chunk (partial results discarded), so the output always
+        aligns 1:1 with frames_rgb — the reference re-chunks all frames at
+        the halved batch size (reference landmark_generation.py:104-118)."""
+        frames = list(frames_rgb)
         out: List[Optional[np.ndarray]] = []
-        batch = list(frames_rgb)
-        while True:
+        pos, size = 0, max(1, self.batch_size)
+        while pos < len(frames):
+            chunk = frames[pos : pos + size]
             try:
-                for frame in batch:
-                    pts = self._fa.get_landmarks(frame)
-                    out.append(
-                        np.asarray(pts[0], np.float32) if pts else None
-                    )
-                return out
+                out.extend(self._chunk(chunk))
+                pos += len(chunk)
             except RuntimeError:
-                # OOM-style failure: halve and retry
-                if len(batch) <= 1:
+                if size <= 1:
                     raise
-                batch = batch[: len(batch) // 2]
+                size = size // 2
+        return out
 
 
 def default_landmarker():

@@ -125,3 +125,45 @@ class TestEndToEnd:
         )
         item = ds.get_item(0, np.random.default_rng(0))
         assert item["gt"].shape == (4, 128, 128, 3)
+
+
+class TestOOMRetry:
+    """FaceAlignmentLandmarker's OOM-halving retry must process every frame
+    exactly once, in order (the round-1 version duplicated early frames and
+    dropped the tail; reference behavior: landmark_generation.py:104-118)."""
+
+    def _make(self, fail_above):
+        from faceoff_tpu.preprocess.detectors import FaceAlignmentLandmarker
+
+        lm = FaceAlignmentLandmarker.__new__(FaceAlignmentLandmarker)
+        lm.batch_size = 8
+        lm.calls = []
+
+        def chunk(frames):
+            if len(frames) > fail_above:
+                raise RuntimeError("CUDA out of memory (fake)")
+            lm.calls.append(len(frames))
+            return [np.full((68, 2), f, np.float32) for f in frames]
+
+        lm._chunk = chunk
+        return lm
+
+    def test_all_frames_once_in_order(self):
+        lm = self._make(fail_above=2)
+        frames = list(range(11))
+        out = lm.landmarks(frames)
+        assert len(out) == 11
+        for i, pts in enumerate(out):
+            assert pts[0, 0] == i  # order preserved, no dup/drop
+        assert all(c <= 2 for c in lm.calls)
+
+    def test_no_failure_uses_full_batches(self):
+        lm = self._make(fail_above=8)
+        out = lm.landmarks(list(range(20)))
+        assert len(out) == 20
+        assert lm.calls[0] == 8
+
+    def test_raises_when_single_frame_fails(self):
+        lm = self._make(fail_above=0)
+        with pytest.raises(RuntimeError):
+            lm.landmarks(list(range(3)))

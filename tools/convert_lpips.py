@@ -35,6 +35,15 @@ def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 1, 0))
 
 
+def _slice_of(idx: int) -> int:
+    """VGG16 feature index -> LPIPS slice number (reference
+    models/lpips.py:115-134 slices at 4/9/16/23/30)."""
+    for s, stop in enumerate((4, 9, 16, 23, 30), start=1):
+        if idx < stop:
+            return s
+    raise ValueError(idx)
+
+
 def convert(vgg16_path=None, lpips_path=None):
     import torch
 
@@ -51,6 +60,16 @@ def convert(vgg16_path=None, lpips_path=None):
 
     if lpips_path:
         sd = torch.load(lpips_path, map_location="cpu")
+        # The taming `vgg.pth` is a full LPIPS state dict: it carries the
+        # VGG16 conv weights too (net.slice{s}.{idx}.*), so --vgg16 is only
+        # needed when converting from a bare torchvision checkpoint.
+        for idx, name in _VGG16_CONV_IDS:
+            key = f"net.slice{_slice_of(idx)}.{idx}.weight"
+            if key in sd:
+                out[f"vgg/{name}/kernel"] = _oihw_to_hwio(sd[key].numpy())
+                out[f"vgg/{name}/bias"] = sd[
+                    f"net.slice{_slice_of(idx)}.{idx}.bias"
+                ].numpy()
         for k in range(5):
             # taming layout: lin{k}.model.1.weight, shape (1, C, 1, 1)
             for cand in (f"lin{k}.model.1.weight", f"lins.{k}.model.1.weight"):
