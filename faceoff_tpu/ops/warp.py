@@ -197,6 +197,29 @@ def warp_with_grid(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
     return _bilinear_sample(img, xs, ys)
 
 
+def arc_grid(h: int, w: int, angle_deg: jnp.ndarray):
+    """Sampling grid bending the image onto an annulus spanning
+    `angle_deg` (ImageMagick 'arc'; same geometry as the host path,
+    faceoff_tpu/data/perturbations.py arc_distort, itself matching
+    reference perturbations.py:137-142). Returns (xs, ys, valid): pixels
+    outside the annulus are invalid (black border in the reference)."""
+    angle = jnp.radians(jnp.maximum(angle_deg.astype(jnp.float32), 1e-3))
+    r_outer = w / angle
+    r_inner = jnp.maximum(r_outer - h, 0.0)
+    cx = (w - 1) / 2.0
+    x, y = identity_grid(h, w)
+    dx = x - cx
+    dy = r_outer - y  # circle centre sits r_outer above the top edge
+    r = jnp.sqrt(dx * dx + dy * dy)
+    theta = jnp.arctan2(dx, dy)
+    xs = (theta / angle + 0.5) * (w - 1)
+    ys = (r_outer - r) / jnp.maximum(r_outer - r_inner, 1e-6) * (h - 1)
+    valid = (
+        (jnp.abs(theta) <= angle / 2) & (r >= r_inner) & (r <= r_outer)
+    )
+    return xs, ys, valid
+
+
 def perturb_clip(
     key: jax.Array,
     faces: jnp.ndarray,
@@ -204,50 +227,95 @@ def perturb_clip(
     *,
     translation_range: int = 3,
     rotation_range: float = 3.0,
-    scale_range: Tuple[float, float] = (0.9, 1.1),
-    barrel_strength: float = 0.5,
+    scale_range: Tuple[int, int] = (90, 110),
 ) -> jnp.ndarray:
     """Composite random perturbation of a whole clip on device, one fused
-    gather per frame (behaviour of reference perturbations.py:208-264:
-    random non-empty subset of {translate, rotate-about-eyes, scale,
-    radial distortion}, independent per frame).
+    gather per frame — the same corruption distribution as the host path
+    (reference perturbations.py:208-264, parameter grids :131-165 and
+    ranges.py:1-3), independent per frame:
+
+      * a uniform NON-EMPTY subset of {translate-x, translate-y,
+        rotate-about-eyes, scale, distort}. The reference redraws the
+        5 coin flips until the subset is non-empty (:191-192), i.e. a
+        uniform draw over the 31 non-empty subsets — sampled here
+        directly as an integer in [1, 32).
+      * discrete parameter grids: integer pixel shifts in [-3, 3],
+        integer degrees in [-3, 3], integer percent scale in [90, 110].
+      * distort draws uniformly from {arc, barrel, barrel_inverse} with
+        the reference's integer-grid coefficients.
+
+    The affine stack and the radial/arc remap collapse into one composed
+    sampling grid: dest -> distortion coords -> affine^{-1} -> source,
+    with out-of-image coords at the distortion stage masked to black
+    (cv2.remap/Wand border behaviour).
 
     faces: (T, H, W, C) float; eye_centers: (T, 2) (x, y).
     """
     t, h, w = faces.shape[:3]
-    keys = jax.random.split(key, 6)
-    enable = jax.random.bernoulli(keys[0], 0.5, (t, 4))
-    # guarantee at least one perturbation per frame (reference :239-243):
-    # force-enable translation-x on frames with none drawn
-    none_on = ~jnp.any(enable, axis=1)
-    enable = enable.at[:, 0].set(enable[:, 0] | none_on)
+    keys = jax.random.split(key, 11)
+    subset = jax.random.randint(keys[0], (t,), 1, 32)
+    en = [(subset >> k) & 1 for k in range(5)]  # tx, ty, rot, scale, distort
 
-    txy = jax.random.randint(
-        keys[1], (t, 2), -translation_range, translation_range + 1
+    txv = jax.random.randint(
+        keys[1], (t,), -translation_range, translation_range + 1
     ).astype(jnp.float32)
-    rot = jax.random.randint(
-        keys[2], (t,), -int(rotation_range), int(rotation_range) + 1
+    tyv = jax.random.randint(
+        keys[2], (t,), -translation_range, translation_range + 1
     ).astype(jnp.float32)
-    scl = jax.random.uniform(
-        keys[3], (t,), minval=scale_range[0], maxval=scale_range[1]
+    rotv = jax.random.randint(
+        keys[3], (t,), -int(rotation_range), int(rotation_range) + 1
+    ).astype(jnp.float32)
+    sclv = (
+        jax.random.randint(keys[4], (t,), scale_range[0], scale_range[1] + 1)
+        .astype(jnp.float32) / 100.0
     )
-    barrel_b = jax.random.uniform(keys[4], (t,), maxval=barrel_strength)
-    do_t = enable[:, 0:1]
-    dx = jnp.where(do_t[:, 0], txy[:, 0], 0.0)
-    dy = jnp.where(enable[:, 1], txy[:, 1], 0.0)
-    ang = jnp.where(enable[:, 2], rot, 0.0)
-    s = jnp.where(enable[:, 3], scl, 1.0)
+    kind = jax.random.randint(keys[5], (t,), 0, 3)  # arc/barrel/inverse
+    arc_ang = jax.random.randint(keys[6], (t,), 0, 31).astype(jnp.float32)
+    bar_a = jax.random.randint(keys[7], (t,), 0, 11).astype(jnp.float32) / 10
+    bar_b = jax.random.randint(keys[8], (t,), 2, 8).astype(jnp.float32) / 10
+    bar_c = jax.random.randint(keys[9], (t,), 0, 6).astype(jnp.float32) / 10
+    inv_bc = jax.random.randint(
+        keys[10], (t, 2), jnp.array([0, -5]), jnp.array([3, 1])
+    ).astype(jnp.float32) / 10
 
-    def one(img, dx, dy, ang, s, eye, bb):
+    dx = jnp.where(en[0], txv, 0.0)
+    dy = jnp.where(en[1], tyv, 0.0)
+    ang = jnp.where(en[2], rotv, 0.0)
+    s = jnp.where(en[3], sclv, 1.0)
+
+    def one(img, dx, dy, ang, s, eye, en_d, kind, arc_ang, ba, bb, bc, ibc):
+        # affine stack in the reference's application order (:195-210):
+        # translate, then rotate about the eye centre, then zoom
         M = translation(dx, dy)
         M = compose_affine(rotation_about(ang, eye), M)
         M = compose_affine(scale_about_center(s, h, w), M)
-        # sample grid = affine^{-1} then radial
-        xs, ys = affine_grid(invert_affine(M), h, w)
-        bxs, bys = barrel_grid(h, w, 0.0, bb, 0.0, 1.0 - bb / 2)
-        # compose: first apply radial to dest coords, then affine-inverse
-        xs2 = _bilinear_sample(xs[..., None], bxs, bys)[..., 0]
-        ys2 = _bilinear_sample(ys[..., None], bxs, bys)[..., 0]
-        return _bilinear_sample(img, xs2, ys2)
+        Minv = invert_affine(M)
 
-    return jax.vmap(one)(faces, dx, dy, ang, s, eye_centers, barrel_b)
+        # distortion stage grids (distort is applied last on the host, so
+        # it maps dest -> intermediate coords here)
+        bxs, bys = barrel_grid(h, w, ba, bb, bc, 1.0)
+        ixs, iys = barrel_grid(h, w, 0.0, ibc[0], ibc[1], 1.0, inverse=True)
+        axs, ays, a_valid = arc_grid(h, w, arc_ang)
+        xi, yi = identity_grid(h, w)
+
+        xs_d = jnp.where(kind == 0, axs, jnp.where(kind == 1, bxs, ixs))
+        ys_d = jnp.where(kind == 0, ays, jnp.where(kind == 1, bys, iys))
+        valid = jnp.where(kind == 0, a_valid, True)
+        # out-of-image coords at the distortion stage are black borders
+        valid = valid & (
+            (xs_d >= 0) & (xs_d <= w - 1) & (ys_d >= 0) & (ys_d <= h - 1)
+        )
+        xs_d = jnp.where(en_d, xs_d, xi)
+        ys_d = jnp.where(en_d, ys_d, yi)
+        valid = jnp.where(en_d, valid, True)
+
+        # affine^{-1} evaluated at the distortion coords (closed form —
+        # no second gather needed)
+        xs2 = Minv[0, 0] * xs_d + Minv[0, 1] * ys_d + Minv[0, 2]
+        ys2 = Minv[1, 0] * xs_d + Minv[1, 1] * ys_d + Minv[1, 2]
+        return _bilinear_sample(img, xs2, ys2) * valid[..., None]
+
+    return jax.vmap(one)(
+        faces, dx, dy, ang, s, eye_centers,
+        en[4].astype(bool), kind, arc_ang, bar_a, bar_b, bar_c, inv_bc,
+    )
