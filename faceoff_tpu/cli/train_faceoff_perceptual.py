@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_res_channel", type=int, default=32)
     p.add_argument("--embed_dim", type=int, default=64)
     p.add_argument("--n_embed", type=int, default=512)
+    p.add_argument("--commitment_beta", type=float, default=1.0,
+                   help="scales the VQ commitment (latent) term")
+    p.add_argument("--revive_every", type=int, default=0,
+                   help="re-seed EMA-dead VQ codes every N steps (0 = off)")
     return p
 
 
@@ -99,6 +103,7 @@ def build_everything(args):
             n_res_channel=args.n_res_channel,
             embed_dim=args.embed_dim,
             n_embed=args.n_embed,
+            commitment_beta=args.commitment_beta,
         ),
         data=config_lib.DataConfig(
             data_root=args.data_root,
@@ -116,6 +121,7 @@ def build_everything(args):
             validate_at=args.validate_at,
             sched=args.sched,
             seed=args.seed,
+            revive_codes_every=args.revive_every,
             checkpoint_dir=args.checkpoint_dir,
             sample_folder=args.sample_folder,
         ),
@@ -133,6 +139,7 @@ def build_everything(args):
         embed_dim=cfg.model.embed_dim,
         n_embed=cfg.model.n_embed,
         decay=cfg.model.vq_decay,
+        commitment_beta=cfg.model.commitment_beta,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=cfg.model.use_pallas_vq and on_tpu,
     )

@@ -31,6 +31,7 @@ class ModelConfig:
     n_embed: int = 512
     vq_decay: float = 0.99
     vq_eps: float = 1e-5
+    commitment_beta: float = 1.0  # scales the commitment (latent) term
     temporal_postnet_layers: int = 3  # Conv3D stack depth per level
     temporal_kernel: int = 3
     use_pallas_vq: bool = True
@@ -87,6 +88,7 @@ class TrainConfig:
     disc_lr: float = 3e-4
     disc_frames: int = 16  # discriminator clip window
     seed: int = 0
+    revive_codes_every: int = 0  # 0 = off; else re-seed dead VQ codes
     checkpoint_dir: str = "checkpoints"
     sample_folder: str = "samples"
     keep_checkpoints: int = 5

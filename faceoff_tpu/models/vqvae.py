@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -182,6 +183,19 @@ class EmaQuantizer(nn.Module):
     def lookup_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
         return vq_ops.codebook_lookup(codes, self.codebook_state.value.embed)
 
+    def revive(
+        self, x: jnp.ndarray, key: jax.Array, usage_threshold: float = 1e-3
+    ) -> None:
+        """Re-seed EMA-dead codes from the batch activations `x`
+        (requires the 'vq' collection mutable)."""
+        if not self.is_mutable_collection("vq"):
+            return
+        flat = x.astype(jnp.float32).reshape(-1, self.embed_dim)
+        self.codebook_state.value = vq_ops.revive_dead_codes(
+            self.codebook_state.value, flat, key,
+            usage_threshold=usage_threshold,
+        )
+
 
 class VQVAE(nn.Module):
     """Two-level VQVAE-2 with temporal postnets
@@ -202,6 +216,7 @@ class VQVAE(nn.Module):
     eps: float = 1e-5
     temporal_postnet_layers: int = 3
     temporal_kernel: int = 3
+    commitment_beta: float = 1.0  # scales the commitment (latent) term
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
     use_pallas: bool = False
@@ -273,7 +288,8 @@ class VQVAE(nn.Module):
         dec_t = self.dec_t(quant_t)
         qb_in = self.quantize_conv_b(jnp.concatenate([dec_t, enc_b], axis=-1))
         quant_b, id_b, diff_b = self.quantize_b(qb_in, train=train)
-        return quant_t, quant_b, diff_t + diff_b, id_t, id_b
+        diff = (diff_t + diff_b) * self.commitment_beta
+        return quant_t, quant_b, diff, id_t, id_b
 
     def decode(self, quant_t: jnp.ndarray, quant_b: jnp.ndarray) -> jnp.ndarray:
         """(reference :280-285)"""
@@ -295,6 +311,29 @@ class VQVAE(nn.Module):
             video_ops.fold_time(enc_b), video_ops.fold_time(enc_t), train=False
         )
         return id_t, id_b
+
+    def revive_codes(
+        self, video: jnp.ndarray, key: jax.Array,
+        usage_threshold: float = 1e-3,
+    ) -> None:
+        """Re-seed dead codebook entries from this batch's pre-VQ latents
+        (apply with mutable=['vq']). Dead-code restart is absent from the
+        reference — its codebooks can permanently collapse
+        (reference models/vqvae_conv3d_latent.py:59-75 only EMA-updates
+        codes that win assignments)."""
+        enc_b, enc_t = self.only_encode(video)
+        enc_b, enc_t = self.temporal_blend(enc_b, enc_t)
+        enc_b_f = video_ops.fold_time(enc_b)
+        enc_t_f = video_ops.fold_time(enc_t)
+        kt, kb = jax.random.split(key)
+        qt_in = self.quantize_conv_t(enc_t_f)
+        self.quantize_t.revive(qt_in, kt, usage_threshold)
+        quant_t, _, _ = self.quantize_t(qt_in, train=False)
+        dec_t = self.dec_t(quant_t)
+        qb_in = self.quantize_conv_b(
+            jnp.concatenate([dec_t, enc_b_f], axis=-1)
+        )
+        self.quantize_b.revive(qb_in, kb, usage_threshold)
 
     def __call__(
         self, video: jnp.ndarray, *, train: bool = False

@@ -224,4 +224,12 @@ def make_schedule(
         )
     if name == "clr":
         return clr(lr / 25.0, lr, max(n_iter // 4, 1))
+    if name == "cycle_anneal":
+        # fastai defaults (reference scheduler.py:157-218: divider 10,
+        # cut_point 20%)
+        return cycle_anneal(lr, 10.0, 20, n_iter)
+    if name == "lr_finder":
+        # exponential sweep over 3 decades for range tests
+        # (reference scheduler.py:323-346)
+        return lr_finder(lr / 1000.0, lr, n_iter)
     raise ValueError(f"unknown schedule '{name}'")

@@ -188,6 +188,24 @@ class Trainer:
         self.profiler = StepProfiler(profile_dir)
         self.preemption = PreemptionGuard()
 
+        # dead-code restart cadence (cfg.train.revive_codes_every; 0 = off):
+        # periodically re-seed EMA-dead codebook entries from the current
+        # batch's latents (absent in the reference — codebooks there can
+        # permanently collapse)
+        self.revive_every = getattr(cfg.train, "revive_codes_every", 0)
+        self._revive = None
+        if self.revive_every:
+            @jax.jit
+            def revive(state, video, key):
+                _, updates = model.apply(
+                    {"params": state.params, "vq": state.vq},
+                    video, key, method=type(model).revive_codes,
+                    mutable=["vq"],
+                )
+                return updates["vq"]
+
+            self._revive = revive
+
     def resume(self, step: Optional[int] = None):
         self.state = self.ckpt.restore(self.state, step)
         self.global_step = int(self.state.step)
@@ -260,6 +278,19 @@ class Trainer:
                 )
                 if self.metrics_writer is not None:
                     self.metrics_writer.flush()
+
+            if (
+                self._revive is not None
+                and self.global_step % self.revive_every == 0
+                and isinstance(batch, dict)
+                and "input" in batch
+                and n_steps == 1
+            ):
+                key = jax.random.key(
+                    self.cfg.train.seed * 7_368_787 + self.global_step
+                )
+                new_vq = self._revive(self.state, batch["input"], key)
+                self.state = self.state.replace(vq=new_vq)
 
             if self.preemption.should_stop:
                 print("preemption requested: saving and stopping", flush=True)

@@ -56,3 +56,20 @@ class TestOthers:
         assert S.make_schedule("cycle", 1e-3, 100) is not None
         with pytest.raises(ValueError):
             S.make_schedule("bogus", 1e-3, 100)
+
+
+def test_make_schedule_exposes_cycle_anneal_and_lr_finder():
+    """All reference scheduler policies are reachable from the factory
+    (reference scheduler.py:157-218 CycleAnnealScheduler, :323-346
+    LRFinder)."""
+    import numpy as np
+
+    sa = S.make_schedule("cycle_anneal", 1e-3, 100)
+    vals = np.array([float(sa(s)) for s in range(100)])
+    assert vals.max() <= 1e-3 + 1e-9
+    assert vals.argmax() > 10  # ramps up then down
+    assert np.isfinite(vals).all()
+
+    sf = S.make_schedule("lr_finder", 1e-3, 100)
+    v0, v99 = float(sf(0)), float(sf(99))
+    assert v0 < 2e-6 and v99 > 5e-4  # exponential sweep over ~3 decades

@@ -116,3 +116,64 @@ class TestBfloat16:
         # codebooks stay fp32
         v = jax.tree_util.tree_leaves(variables["vq"])
         assert all(x.dtype == jnp.float32 for x in v)
+
+
+def test_commitment_beta_scales_latent_loss():
+    import jax, jax.numpy as jnp
+    from faceoff_tpu.models import VQVAE
+
+    kw = dict(in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+              embed_dim=8, n_embed=32, dtype=jnp.float32)
+    video = jax.random.uniform(
+        jax.random.key(0), (1, 2, 32, 32, 6), minval=-1, maxval=1
+    )
+    m1 = VQVAE(**kw)
+    v = m1.init(jax.random.key(1), video, train=False)
+    _, d1 = m1.apply(v, video, train=False)
+    m2 = VQVAE(**kw, commitment_beta=0.25)
+    _, d2 = m2.apply(v, video, train=False)
+    assert abs(float(d2) - 0.25 * float(d1)) < 1e-6
+
+
+def test_revive_codes_restores_dead_entries():
+    """revive_codes re-seeds EMA-dead codebook rows from batch latents
+    while leaving live codes untouched."""
+    import jax, jax.numpy as jnp, numpy as np
+    from faceoff_tpu.models import VQVAE
+
+    m = VQVAE(in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+              embed_dim=8, n_embed=32, dtype=jnp.float32)
+    video = jax.random.uniform(
+        jax.random.key(0), (1, 2, 32, 32, 6), minval=-1, maxval=1
+    )
+    variables = m.init(jax.random.key(1), video, train=False)
+
+    # kill half the top codebook: zero its EMA usage
+    vq = jax.tree_util.tree_map(lambda x: x, variables["vq"])
+    import flax
+    vq = flax.core.unfreeze(vq)
+    cb = vq["quantize_t"]["codebook"]
+    dead = np.zeros(cb.cluster_size.shape, bool)
+    dead[:16] = True
+    # fresh-init usage is all-zero (everything would read as dead), so mark
+    # the live half explicitly
+    cb = cb._replace(
+        cluster_size=jnp.where(jnp.asarray(dead), 0.0, 1.0)
+    )
+    vq["quantize_t"]["codebook"] = cb
+
+    _, updates = m.apply(
+        {"params": variables["params"], "vq": vq},
+        video, jax.random.key(2),
+        method=VQVAE.revive_codes, mutable=["vq"],
+    )
+    new_cb = updates["vq"]["quantize_t"]["codebook"]
+    # dead rows re-seeded (usage reset to 1, embeddings changed)
+    np.testing.assert_allclose(np.asarray(new_cb.cluster_size[:16]), 1.0)
+    assert not np.allclose(
+        np.asarray(new_cb.embed[:, :16]), np.asarray(cb.embed[:, :16])
+    )
+    # live rows untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_cb.embed[:, 16:]), np.asarray(cb.embed[:, 16:])
+    )
