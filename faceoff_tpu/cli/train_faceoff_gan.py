@@ -37,7 +37,7 @@ from faceoff_tpu.models.discriminators import (
 )
 from faceoff_tpu.models.lpips import init_lpips
 from faceoff_tpu.io.checkpoint import CheckpointManager
-from faceoff_tpu.parallel import is_primary, make_mesh, shard_batch
+from faceoff_tpu.parallel import collectives, is_primary, make_mesh, shard_batch
 from faceoff_tpu.train import create_train_state
 from faceoff_tpu.train.state import make_optimizer
 
@@ -113,6 +113,9 @@ def build_parser():
     p.add_argument("--n_embed", type=int, default=512)
     p.add_argument("--ndf", type=int, default=64,
                    help="discriminator base width")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host run: jax.distributed.initialize() + "
+                        "per-process train-loader sharding")
     return p
 
 
@@ -121,6 +124,12 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        collectives.initialize_distributed()
+        print(
+            f"multihost: process {collectives.get_rank()} of "
+            f"{collectives.get_world_size()}", flush=True,
+        )
     if args.perceptual and args.sample_frames == 16:
         args.sample_frames = 12  # reference train_vqvae_perceptual_* :164
     print(args, flush=True)
@@ -159,12 +168,16 @@ def main(argv=None):
         loader = RawClipLoader(
             ds, batch_clips=args.batch_size * n_dev,
             num_workers=args.num_workers, seed=args.seed,
+            shard_index=collectives.get_rank(),
+            shard_count=collectives.get_world_size(),
         )
         prepare_fn = prepare_train_batch
     else:
         loader = DataLoader(
             ds, batch_clips=args.batch_size * n_dev,
             num_workers=args.num_workers, seed=args.seed,
+            shard_index=collectives.get_rank(),
+            shard_count=collectives.get_world_size(),
         )
 
     sample = jnp.zeros(

@@ -27,7 +27,7 @@ from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader
 from faceoff_tpu.models import VQVAE
 from faceoff_tpu.models.lpips import init_lpips
-from faceoff_tpu.parallel import make_mesh
+from faceoff_tpu.parallel import collectives, make_mesh
 from faceoff_tpu.train import (
     create_train_state,
     make_eval_step,
@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_res_channel", type=int, default=32)
     p.add_argument("--embed_dim", type=int, default=64)
     p.add_argument("--n_embed", type=int, default=512)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host run: jax.distributed.initialize() at "
+                        "startup; the train loader shards per process "
+                        "(replaces the reference's mp.spawn + NCCL "
+                        "rendezvous + DistributedSampler, "
+                        "distributed/launch.py:22-92, distributed.py:135-143)")
     p.add_argument("--commitment_beta", type=float, default=1.0,
                    help="scales the VQ commitment (latent) term")
     p.add_argument("--revive_every", type=int, default=0,
@@ -179,6 +185,8 @@ def build_everything(args):
             batch_clips=args.batch_size * n_dev,
             num_workers=args.num_workers,
             seed=args.seed,
+            shard_index=collectives.get_rank(),
+            shard_count=collectives.get_world_size(),
         )
         prepare_fn = functools.partial(
             prepare_train_batch, color_jitter=args.colorjit
@@ -189,6 +197,8 @@ def build_everything(args):
             batch_clips=args.batch_size * n_dev,
             num_workers=args.num_workers,
             seed=args.seed,
+            shard_index=collectives.get_rank(),
+            shard_count=collectives.get_world_size(),
         )
     val_loader = DataLoader(
         val_ds, batch_clips=n_dev, shuffle=False,
@@ -243,6 +253,12 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        collectives.initialize_distributed()
+        print(
+            f"multihost: process {collectives.get_rank()} of "
+            f"{collectives.get_world_size()}", flush=True,
+        )
     run = random_run_name()
     args.sample_folder = f"{args.sample_folder}_{run}"
     args.checkpoint_dir = f"{args.checkpoint_dir}_{run}" if not args.ckpt else args.checkpoint_dir

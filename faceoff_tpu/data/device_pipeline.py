@@ -110,6 +110,7 @@ class RawClipLoader:
     def __init__(
         self, dataset, batch_clips: int = 1, *, num_workers: int = 8,
         prefetch: int = 2, seed: int = 0, shuffle: bool = True,
+        shard_index: int = 0, shard_count: int = 1,
     ):
         from faceoff_tpu.data.pipeline import DataLoader
 
@@ -143,6 +144,7 @@ class RawClipLoader:
         self.loader = DataLoader(
             _RawView(dataset), batch_clips, shuffle=shuffle,
             num_workers=num_workers, prefetch=prefetch, seed=seed, pack=pack,
+            shard_index=shard_index, shard_count=shard_count,
         )
 
     def __len__(self):

@@ -37,3 +37,35 @@ def test_len_reflects_shard(synth_root):
     shard = DataLoader(ds, batch_clips=1, num_workers=1, shard_count=3)
     assert len(full) == 6
     assert len(shard) == 2
+
+
+def test_cli_factory_shards_train_loader(synth_root, tmp_path, monkeypatch):
+    """The trainer factory wires per-process data sharding from the process
+    identity (role of the reference's DistributedSampler,
+    distributed/distributed.py:135-143): with 2 simulated processes each
+    rank's train loader iterates a disjoint half."""
+    from faceoff_tpu.cli import train_faceoff_perceptual as cli
+    from faceoff_tpu.parallel import collectives
+
+    def build(rank):
+        monkeypatch.setattr(collectives, "get_rank", lambda: rank)
+        monkeypatch.setattr(collectives, "get_world_size", lambda: 2)
+        args = cli.build_parser().parse_args([
+            "--data_root", synth_root, "--size", "64",
+            "--train_frames", "2", "--val_frames", "2",
+            "--num_workers", "1",
+            "--sample_folder", str(tmp_path / f"s{rank}"),
+            "--checkpoint_dir", str(tmp_path / f"c{rank}"),
+            "--channel", "16", "--n_res_block", "1", "--n_res_channel", "8",
+            "--embed_dim", "8", "--n_embed", "32",
+        ])
+        trainer, _ = cli.build_everything(args)
+        return trainer.train_loader
+
+    l0, l1 = build(0), build(1)
+    full = DataLoader(
+        TemporalAlignmentDataset(synth_root, "train", 2, resolution=64),
+        batch_clips=1, num_workers=1,
+    )
+    assert len(l0) + len(l1) <= len(full)
+    assert len(l0) >= 1 and len(l1) >= 1
