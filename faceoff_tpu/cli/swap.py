@@ -47,6 +47,10 @@ def build_parser():
                    help="frames per device batch")
     p.add_argument("--save_streams", action="store_true",
                    help="also write composite/background streams")
+    p.add_argument("--device_pipeline", action="store_true",
+                   help="run the hull/Umeyama/warp/composite geometry on "
+                        "the accelerator, fused into one program per chunk "
+                        "with the model forward (host only decodes frames)")
     return p
 
 
@@ -64,14 +68,35 @@ def main(argv=None):
     if n == 0:
         raise SystemExit("no overlapping frames with landmarks")
 
-    # host-side geometry: hull -> warp -> composite per frame pair
-    sources, backgrounds = [], []
-    for sp, tp in zip(src_paths[:n], tgt_paths[:n]):
-        s_img, s_lms = load_frame(sp, args.size)
-        t_img, t_lms = load_frame(tp, args.size)
-        out = geometry.generate_warped_image(s_lms, t_lms, s_img, t_img)
-        sources.append(normalize(out["source_face_transformed"]))
-        backgrounds.append(normalize(out["target_without_face_features"]))
+    if args.device_pipeline:
+        # host only decodes; hull/Umeyama/warp/composite run on device
+        # fused with the model forward (one XLA program per chunk)
+        from faceoff_tpu.ops.swap import prepare_swap_batch
+
+        raw = {"src": [], "src_lms": [], "tgt": [], "tgt_lms": []}
+        for sp, tp in zip(src_paths[:n], tgt_paths[:n]):
+            s_img, s_lms = load_frame(sp, args.size)
+            t_img, t_lms = load_frame(tp, args.size)
+            raw["src"].append(s_img)
+            raw["src_lms"].append(s_lms)
+            raw["tgt"].append(t_img)
+            raw["tgt_lms"].append(t_lms)
+        raw = {k: np.stack(v) for k, v in raw.items()}
+        streams = prepare_swap_batch(
+            jnp.asarray(raw["src"]), jnp.asarray(raw["src_lms"]),
+            jnp.asarray(raw["tgt"]), jnp.asarray(raw["tgt_lms"]),
+        )
+        sources = list(np.asarray(streams["source"]))
+        backgrounds = list(np.asarray(streams["background"]))
+    else:
+        # host-side geometry: hull -> warp -> composite per frame pair
+        sources, backgrounds = [], []
+        for sp, tp in zip(src_paths[:n], tgt_paths[:n]):
+            s_img, s_lms = load_frame(sp, args.size)
+            t_img, t_lms = load_frame(tp, args.size)
+            out = geometry.generate_warped_image(s_lms, t_lms, s_img, t_img)
+            sources.append(normalize(out["source_face_transformed"]))
+            backgrounds.append(normalize(out["target_without_face_features"]))
 
     on_tpu = jax.default_backend() == "tpu"
     model = VQVAE(

@@ -1,3 +1,4 @@
+from faceoff_tpu.ops.swap import prepare_swap_batch
 from faceoff_tpu.ops.video import fold_time, unfold_time
 from faceoff_tpu.ops.vq import (
     VQCodebook,
@@ -9,6 +10,7 @@ from faceoff_tpu.ops.vq import (
 )
 
 __all__ = [
+    "prepare_swap_batch",
     "fold_time",
     "unfold_time",
     "VQCodebook",

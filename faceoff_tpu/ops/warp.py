@@ -142,10 +142,16 @@ def convex_mask(
     w: int,
     valid: Optional[jnp.ndarray] = None,
     n_directions: int = 128,
+    enlarge: float = 0.0,
 ) -> jnp.ndarray:
     """Rasterize the convex hull of `points` (P, 2) as a (h, w) float mask
     (device replacement for cv2.convexHull + fillConvexPoly, reference
     face_translation_videos3_utils.py:41-64).
+
+    `enlarge` > 0 grows the hull by that many pixels: adding a constant to
+    every support value is the exact Minkowski sum with an L2 ball (the
+    analytic counterpart of the host path's contour-redraw enlargement,
+    reference face_translation_videos3_utils.py:66-77).
 
     Support-function formulation: q ∈ conv(P) iff for every direction d,
     d·q <= max_i d·p_i. Discretizing d over `n_directions` angles yields
@@ -161,7 +167,7 @@ def convex_mask(
     proj = dirs @ pts.T  # (K, P)
     if valid is not None:
         proj = jnp.where(valid[None, :], proj, -jnp.inf)
-    support = jnp.max(proj, axis=1)  # (K,)
+    support = jnp.max(proj, axis=1) + enlarge  # (K,)
 
     # d·q for every pixel as one (H·W, 2) @ (2, K) matmul (MXU-shaped and
     # cheap to constant-fold, unlike a (K, H, W) broadcast tensor)
@@ -195,6 +201,33 @@ def barrel_grid(
 
 def warp_with_grid(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
     return _bilinear_sample(img, xs, ys)
+
+
+def umeyama_similarity(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Least-squares similarity transform (rotation+scale+translation)
+    mapping src points (P, 2) onto dst points, as a 2x3 affine — the
+    device counterpart of data/geometry.umeyama_similarity (itself
+    replacing skimage estimate_transform, reference
+    face_translation_videos3_utils.py:85-87). jit/vmap-friendly."""
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    n = src.shape[0]
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / n
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U) * jnp.linalg.det(Vt))
+    ones = jnp.ones((), jnp.float32)
+    D = jnp.stack([
+        jnp.stack([ones, 0 * d]), jnp.stack([0 * d, d])
+    ])
+    R = U @ D @ Vt
+    var_s = jnp.sum(sc * sc) / n
+    scale = (S[0] + S[1] * d) / jnp.maximum(var_s, 1e-8)
+    t = mu_d - scale * (R @ mu_s)
+    return jnp.concatenate([scale * R, t[:, None]], axis=1)
 
 
 def arc_grid(h: int, w: int, angle_deg: jnp.ndarray):
