@@ -9,10 +9,14 @@ device throughput from the host input pipeline.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-comparison point is an estimate of the reference's per-GPU training rate:
-1 clip x 30 frames per step per GPU (reference utils.py:55-73) at ~1 s/step
-for the ~20M-param VQVAE-2 + dual VGG16 LPIPS forward on a V100-class GPU
-=> ~30 frames/s/GPU. vs_baseline = measured_fps_per_chip / 30.
+denominator is a FLOP-DERIVED UPPER BOUND on the reference's per-GPU rate
+(tools/derive_baseline.py, results in BASELINE_DERIVED.json): XLA's cost
+analysis of the full train step at the reference operating point (fp32,
+1 clip x 30 frames/GPU, 256px, MSE+latent+LPIPS, Adam) gives 179.5
+GFLOP/frame; at V100 peak fp32 (15.7 TFLOP/s) and a generous 50% MFU that
+bounds the reference at 43.72 frames/s/GPU. Real reference runs are slower
+(DDP + EMA all_reduce + batch_size=1 host pipeline ignored by the bound),
+so vs_baseline multipliers are conservative.
 """
 
 from __future__ import annotations
@@ -24,28 +28,38 @@ import time
 import jax
 import jax.numpy as jnp
 
-REF_FPS_PER_GPU_EST = 30.0
+# FLOP-derived V100 upper bound; see tools/derive_baseline.py
+REF_FPS_PER_GPU_EST = 43.72
 
 B, T, HW = 1, 8, 256
 WARMUP, ITERS = 3, 20
 
 
-def bench_e2e(device_pipeline: bool):
+def bench_e2e(device_pipeline: bool, batch: int = 1):
     """End-to-end training throughput incl. the input pipeline on a
     synthetic on-disk dataset: host geometry path vs the on-device
-    hull/perturb/composite path (--mode e2e / e2e_host)."""
+    hull/perturb/composite path (--mode e2e / e2e_host).
+
+    Host batches are double-buffered onto the device
+    (data.pipeline.prefetch_to_device) so the transfer of batch k+1
+    overlaps step k, and `batch` clips ride each dispatch — both amortize
+    the relay dispatch latency that bounded the round-1 e2e number."""
     import tempfile
 
-    import numpy as np
+    from jax.sharding import SingleDeviceSharding
 
     from faceoff_tpu.data import synthetic
     from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+    from faceoff_tpu.data.pipeline import prefetch_to_device
     from faceoff_tpu.models import VQVAE
     from faceoff_tpu.train import create_train_state, make_train_step
 
     on_tpu = jax.default_backend() == "tpu"
+    b = batch
     with tempfile.TemporaryDirectory() as root:
-        synthetic.generate_dataset(root, n_videos=4, n_frames=T + 4, size=HW)
+        synthetic.generate_dataset(
+            root, n_videos=max(4, 2 * b), n_frames=T + 4, size=HW
+        )
         ds = TemporalAlignmentDataset(root, "train", T, resolution=HW)
 
         model = VQVAE(
@@ -54,7 +68,7 @@ def bench_e2e(device_pipeline: bool):
             use_pallas=on_tpu,
         )
         state = create_train_state(
-            model, jax.random.key(0), jnp.zeros((B, T, HW, HW, 6)), lr=3e-4
+            model, jax.random.key(0), jnp.zeros((b, T, HW, HW, 6)), lr=3e-4
         )
 
         if device_pipeline:
@@ -63,58 +77,55 @@ def bench_e2e(device_pipeline: bool):
                 prepare_train_batch,
             )
 
-            loader = RawClipLoader(ds, batch_clips=B, num_workers=8)
+            loader = RawClipLoader(ds, batch_clips=b, num_workers=8)
             # input prep fused into the train step: one dispatch per step
             train_step = make_train_step(
                 model, prepare_fn=prepare_train_batch, donate=False
             )
 
-            def run_one(step_idx, batch):
+            def run_one(step_idx, staged):
                 return train_step(
-                    state,
-                    {
-                        "frames": jnp.asarray(batch["frames"]),
-                        "landmarks": jnp.asarray(batch["landmarks"]),
-                    },
-                    None,
-                    jax.random.key(step_idx),
+                    state, staged, None, jax.random.key(step_idx)
                 )
         else:
             train_step = make_train_step(model, donate=False)
             from faceoff_tpu.data.pipeline import DataLoader
 
-            loader = DataLoader(ds, batch_clips=B, num_workers=8)
+            loader = DataLoader(ds, batch_clips=b, num_workers=8)
 
-            def run_one(step_idx, batch):
-                return train_step(
-                    state,
-                    {
-                        "input": jnp.asarray(batch["input"]),
-                        "gt": jnp.asarray(batch["gt"]),
-                    },
-                )
+            def run_one(step_idx, staged):
+                return train_step(state, staged)
+
+        sharding = SingleDeviceSharding(jax.devices()[0])
+        keep = ("frames", "landmarks") if device_pipeline else ("input", "gt")
+
+        def host_batches(n):
+            served = 0
+            while served < n:
+                for raw in loader:
+                    yield {k: raw[k] for k in keep}
+                    served += 1
+                    if served >= n:
+                        return
 
         # warmup (compile)
-        it = iter(loader)
-        _, m = run_one(0, next(it))
+        staged = next(prefetch_to_device(host_batches(1), sharding))
+        _, m = run_one(0, staged)
         float(m["loss"])  # host read: reliable sync
 
         n_steps = 0
         t0 = time.perf_counter()
-        while n_steps < 12:
-            for batch in loader:
-                _, m = run_one(n_steps, batch)
-                n_steps += 1
-                if n_steps >= 12:
-                    break
+        for staged in prefetch_to_device(host_batches(12), sharding, depth=3):
+            _, m = run_one(n_steps, staged)
+            n_steps += 1
         float(m["loss"])  # host read: reliable sync
         dt = time.perf_counter() - t0
-        fps = B * T * n_steps / dt
+        fps = b * T * n_steps / dt
     label = "device" if device_pipeline else "host"
     print(
         json.dumps(
             {
-                "metric": f"e2e_train_frames_per_sec_{label}_pipeline",
+                "metric": f"e2e_train_frames_per_sec_{label}_pipeline_b{b}",
                 "value": round(fps, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
@@ -249,10 +260,13 @@ if __name__ == "__main__":
              "e2e: incl. input pipeline with on-device geometry; "
              "e2e_host: incl. input pipeline with host cv2 geometry",
     )
-    mode = ap.parse_args().mode
+    ap.add_argument("--batch", type=int, default=1,
+                    help="clips per step for the e2e modes")
+    cli = ap.parse_args()
+    mode = cli.mode
     if mode == "step":
         main()
     elif mode == "multi":
         bench_multi()
     else:
-        bench_e2e(device_pipeline=(mode == "e2e"))
+        bench_e2e(device_pipeline=(mode == "e2e"), batch=cli.batch)

@@ -112,3 +112,43 @@ class DataLoader:
             yield item
         thread.join()
         self.epoch += 1
+
+
+def prefetch_to_device(iterator, sharding, depth: int = 2):
+    """Double-buffered host->device staging.
+
+    Pulls host batches from `iterator` in a background thread and issues
+    `jax.device_put` onto `sharding` ahead of consumption, so the transfer
+    of batch k+1 overlaps the device execution of step k. On a tunneled
+    accelerator the put latency otherwise serializes with every dispatch
+    (the round-1 e2e gap: ~70 ms/step of relay latency on top of a ~21 ms
+    step). depth bounds device-resident staged batches (memory).
+    """
+    import jax
+
+    out_q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    sentinel = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                out_q.put(
+                    jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, sharding), batch
+                    )
+                )
+        except Exception as e:
+            out_q.put(e)
+        finally:
+            out_q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = out_q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, Exception):
+            raise item
+        yield item
+    thread.join()

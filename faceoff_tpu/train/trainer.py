@@ -227,23 +227,37 @@ class Trainer:
                 yield stacked, self.steps_per_call
                 acc = []
 
-    def train_epoch(self, epoch: int):
+    def _device_stream(self):
+        """Host batches staged onto the mesh with double-buffering: the
+        device_put of batch k+1 overlaps step k (otherwise the transfer
+        latency — ~70 ms/step through a tunneled accelerator — serializes
+        with every dispatch)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from faceoff_tpu.data.pipeline import prefetch_to_device
+        from faceoff_tpu.parallel.mesh import batch_sharding
+
+        if self.steps_per_call <= 1:
+            sharding = batch_sharding(self.mesh)
+            for batch in prefetch_to_device(self.train_loader, sharding):
+                yield batch, 1
+            return
+        # stacked (K, B, T, ...): clips shard over 'data' on axis 1
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        for batch in prefetch_to_device(
+            (b for b, _ in self._batch_stream()), sharding
+        ):
+            yield batch, self.steps_per_call
+
+    def train_epoch(self, epoch: int):
         logger = MetricLogger()
         t0 = time.time()
-        for i, (batch, n_steps) in enumerate(self._batch_stream()):
+        for i, (batch, n_steps) in enumerate(self._device_stream()):
             first = next(iter(batch.values()))
             if n_steps > 1:
-                # stacked (K, B, T, ...): clips shard over 'data' on axis 1
                 frames = int(np.prod(first.shape[:3]))
-                sharding = NamedSharding(self.mesh, P(None, "data"))
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sharding), batch
-                )
             else:
                 frames = first.shape[0] * first.shape[1]
-                batch = shard_batch(batch, self.mesh)
             # with a device pipeline the raw batch + key go straight into
             # the fused train step (input prep and optimization are one
             # XLA program)
