@@ -198,12 +198,15 @@ def main(argv=None):
         print(f"generator warm-started from {src_dir} @ step "
               f"{int(gen_state.step)}", flush=True)
 
+    # LPIPS variables double as the fd_vgg feature extractor for
+    # adversarial-quality tracking, so build them unconditionally
+    lpips_model, fd_lpips_vars = init_lpips(
+        jax.random.key(args.seed + 1), image_size=args.size,
+        weights_npz=args.lpips_weights,
+    )
     lpips_apply = lpips_vars = None
     if args.perceptual or args.gan == "vqgan":
-        lpips_model, lpips_vars = init_lpips(
-            jax.random.key(args.seed + 1), image_size=args.size,
-            weights_npz=args.lpips_weights,
-        )
+        lpips_vars = fd_lpips_vars
         lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
 
     ckpt = CheckpointManager(args.checkpoint_dir)
@@ -321,11 +324,27 @@ def main(argv=None):
         ckpt.save(step_count, state.gen)
         disc_ckpt.save(step_count, _disc_bundle(state))
 
+    from faceoff_tpu.evaluation import make_fd_vgg
+
+    fd_fn = make_fd_vgg(fd_lpips_vars)
+
     def validate(epoch, step_count):
         run_validation(
             eval_step, state.gen, val_loader, args.sample_folder,
             epoch, step_count, mesh=mesh, max_batches=args.val_batches,
         )
+        # adversarial-quality proxy the reference lacks entirely: Fréchet
+        # distance between real and generated frames in VGG feature space
+        batch = next(iter(val_loader))
+        b = {k: jnp.asarray(batch[k]) for k in ("input", "gt")}
+        out, _ = eval_step(state.gen, b)
+        real = b["gt"].reshape((-1,) + b["gt"].shape[2:])
+        fake = jnp.asarray(out).reshape((-1,) + out.shape[2:])
+        fd_val = float(fd_fn(real, fake))
+        print(f"fd_vgg: {fd_val:.4f}", flush=True)
+        if metrics_writer is not None:
+            metrics_writer.write(step_count, {"fd_vgg": fd_val}, epoch=epoch)
+            metrics_writer.flush()
         save_all(step_count)
 
     # -- the one training loop

@@ -1,3 +1,19 @@
+from faceoff_tpu.evaluation.frechet import (
+    feature_stats,
+    fid,
+    frechet_distance,
+    make_fd_vgg,
+    vgg_features,
+)
 from faceoff_tpu.evaluation.metrics import psnr, ssim, evaluate_reconstruction
 
-__all__ = ["psnr", "ssim", "evaluate_reconstruction"]
+__all__ = [
+    "psnr",
+    "ssim",
+    "evaluate_reconstruction",
+    "feature_stats",
+    "fid",
+    "frechet_distance",
+    "make_fd_vgg",
+    "vgg_features",
+]

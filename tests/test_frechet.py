@@ -1,0 +1,70 @@
+"""Fréchet distance (FID/FVD-family) metric tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceoff_tpu.evaluation import (
+    feature_stats,
+    fid,
+    frechet_distance,
+    make_fd_vgg,
+)
+
+
+class TestFrechetDistance:
+    def test_identical_gaussians_zero(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(500, 8)).astype(np.float32)
+        d = float(fid(jnp.asarray(x), jnp.asarray(x)))
+        assert abs(d) < 1e-3
+
+    def test_analytic_diagonal_case(self):
+        """For Gaussians with diagonal covariances the distance has the
+        closed form |m1-m2|^2 + sum (sqrt(v1)-sqrt(v2))^2."""
+        d_dim = 4
+        mu1 = jnp.zeros(d_dim)
+        mu2 = jnp.full((d_dim,), 2.0)
+        v1 = jnp.array([1.0, 2.0, 3.0, 4.0])
+        v2 = jnp.array([4.0, 3.0, 2.0, 1.0])
+        got = float(
+            frechet_distance(mu1, jnp.diag(v1), mu2, jnp.diag(v2))
+        )
+        want = float(
+            jnp.sum((mu1 - mu2) ** 2)
+            + jnp.sum((jnp.sqrt(v1) - jnp.sqrt(v2)) ** 2)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_monotone_in_mean_shift(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(400, 6)).astype(np.float32)
+        near = x + 0.5
+        far = x + 3.0
+        d_near = float(fid(jnp.asarray(x), jnp.asarray(near)))
+        d_far = float(fid(jnp.asarray(x), jnp.asarray(far)))
+        assert d_near < d_far
+
+    def test_feature_stats_shapes(self):
+        mu, cov = feature_stats(jnp.ones((10, 5)))
+        assert mu.shape == (5,) and cov.shape == (5, 5)
+
+
+class TestFdVgg:
+    def test_noise_level_ordering(self):
+        """fd_vgg grows with corruption level — usable as a training-run
+        quality tracker even with the random-VGG extractor."""
+        from faceoff_tpu.models.lpips import init_lpips
+
+        _, variables = init_lpips(jax.random.key(0), image_size=32)
+        fd = make_fd_vgg(variables)
+        rng = np.random.default_rng(2)
+        real = jnp.asarray(
+            rng.uniform(-1, 1, (24, 32, 32, 3)).astype(np.float32)
+        )
+        small = jnp.clip(real + 0.05 * rng.normal(size=real.shape), -1, 1)
+        big = jnp.clip(real + 0.6 * rng.normal(size=real.shape), -1, 1)
+        d_small = float(fd(real, small.astype(jnp.float32)))
+        d_big = float(fd(real, big.astype(jnp.float32)))
+        assert d_small < d_big
+        assert np.isfinite(d_small) and np.isfinite(d_big)
