@@ -188,6 +188,100 @@ def bench_multi(k: int = 8):
     )
 
 
+def bench_infer(batch: int = 1):
+    """Offline serving throughput: the jitted eval forward (no grads, no
+    EMA update) on (batch, T, 256, 256, 6) clips — the chunked swap
+    inference path (cli/swap.py)."""
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.train import create_train_state, make_eval_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    b = batch
+    gt = jax.random.uniform(
+        jax.random.key(0), (b, T, HW, HW, 3), minval=-1, maxval=1
+    )
+    batch_d = {"input": jnp.concatenate([gt, gt], axis=-1), "gt": gt}
+    state = create_train_state(model, jax.random.key(1), batch_d["input"])
+    eval_step = make_eval_step(model)
+
+    import numpy as np
+
+    for _ in range(WARMUP):
+        out, _ = eval_step(state, batch_d)
+    np.asarray(out).ravel()[:1]
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out, _ = eval_step(state, batch_d)
+    np.asarray(out).ravel()[:1]  # device->host read: reliable sync
+    dt = time.perf_counter() - t0
+    fps = b * T * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"infer_frames_per_sec_256px_b{b}",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
+            }
+        )
+    )
+
+
+def bench_stream():
+    """Online serving latency: frame-at-a-time swap inference through the
+    streaming path (faceoff_tpu.serve.streaming) on the flagship model at
+    256px — the latency-critical deployment mode (batch=1, one device
+    program per frame, 3-frame pipeline delay)."""
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.serve import StreamingSwapper
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 4, HW, HW, 6)), train=False
+    )
+    sw = StreamingSwapper(model, variables, height=HW, width=HW)
+    frame = jax.random.uniform(
+        jax.random.key(1), (1, HW, HW, 6), minval=-1, maxval=1
+    )
+
+    import numpy as np
+
+    for _ in range(sw.delay + 2):  # compile + warm the pipeline
+        out = sw.push(frame)
+    np.asarray(out)
+
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = sw.push(frame)
+        np.asarray(out)  # device->host read per frame: real latency
+        lat.append(time.perf_counter() - t0)
+    ms = sorted(x * 1e3 for x in lat)
+    p50 = ms[len(ms) // 2]
+    fps = 1e3 / p50
+    print(
+        json.dumps(
+            {
+                "metric": "stream_swap_latency_ms_per_frame_256px",
+                "value": round(p50, 2),
+                "unit": "ms/frame (p50)",
+                "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
+            }
+        )
+    )
+
+
 def main():
     from faceoff_tpu.models import VQVAE
     from faceoff_tpu.models.lpips import init_lpips
@@ -253,12 +347,14 @@ if __name__ == "__main__":
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["step", "multi", "e2e", "e2e_host"],
+        "--mode",
+        choices=["step", "multi", "e2e", "e2e_host", "stream", "infer"],
         default="step",
         help="step: device-only train step (driver default); "
              "multi: K steps per dispatch via lax.scan; "
              "e2e: incl. input pipeline with on-device geometry; "
-             "e2e_host: incl. input pipeline with host cv2 geometry",
+             "e2e_host: incl. input pipeline with host cv2 geometry; "
+             "stream: online frame-at-a-time serving latency",
     )
     ap.add_argument("--batch", type=int, default=1,
                     help="clips per step for the e2e modes")
@@ -268,5 +364,9 @@ if __name__ == "__main__":
         main()
     elif mode == "multi":
         bench_multi()
+    elif mode == "stream":
+        bench_stream()
+    elif mode == "infer":
+        bench_infer(batch=cli.batch)
     else:
         bench_e2e(device_pipeline=(mode == "e2e"), batch=cli.batch)

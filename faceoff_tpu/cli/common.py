@@ -1,0 +1,42 @@
+"""Shared CLI plumbing: model-size flags + VQVAE construction.
+
+Every inference-side CLI (swap/evaluate/encode) rebuilds the generator
+before restoring a checkpoint, so each must accept the same model-size
+overrides the training CLIs expose (the reference instead hardcodes
+channel=128 etc. in the constructor, models/vqvae_conv3d_latent.py:193-201
+— checkpoints of any other size simply cannot be loaded there).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from faceoff_tpu.models import VQVAE
+
+
+def add_model_flags(p) -> None:
+    g = p.add_argument_group(
+        "model size (must match the trained checkpoint)"
+    )
+    g.add_argument("--channel", type=int, default=128)
+    g.add_argument("--n_res_block", type=int, default=2)
+    g.add_argument("--n_res_channel", type=int, default=32)
+    g.add_argument("--embed_dim", type=int, default=64)
+    g.add_argument("--n_embed", type=int, default=512)
+    g.add_argument("--no_pallas", action="store_true",
+                   help="use the pure-XLA VQ path even on TPU")
+
+
+def build_vqvae(args, in_channels: int = 6) -> VQVAE:
+    on_tpu = jax.default_backend() == "tpu"
+    return VQVAE(
+        in_channels=in_channels,
+        channel=args.channel,
+        n_res_block=args.n_res_block,
+        n_res_channel=args.n_res_channel,
+        embed_dim=args.embed_dim,
+        n_embed=args.n_embed,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu and not args.no_pallas,
+    )

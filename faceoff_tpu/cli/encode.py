@@ -22,9 +22,9 @@ from faceoff_tpu.data.dataset import (
     denormalize,
     load_window_frames,
 )
+from faceoff_tpu.cli import common
 from faceoff_tpu.io.checkpoint import CheckpointManager
 from faceoff_tpu.io.video import save_frames_as_video
-from faceoff_tpu.models import VQVAE
 from faceoff_tpu.train import create_train_state
 
 
@@ -43,6 +43,7 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--max_frames", type=int, default=32)
     p.add_argument("--fps", type=int, default=25)
+    common.add_model_flags(p)
     args = p.parse_args(argv)
 
     paths = _landmark_paths(args.video_dir)[: args.max_frames]
@@ -54,12 +55,7 @@ def main(argv=None):
     # plain video tokenization feed the frame into both halves
     video6 = jnp.concatenate([video, video], axis=-1)
 
-    on_tpu = jax.default_backend() == "tpu"
-    model = VQVAE(
-        in_channels=6,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas=on_tpu,
-    )
+    model = common.build_vqvae(args)
     state = create_train_state(model, jax.random.key(0), video6)
     ckpt = CheckpointManager(args.checkpoint_dir)
     state = ckpt.restore_weights(

@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from faceoff_tpu.cli import common
 from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader
 from faceoff_tpu.evaluation import evaluate_reconstruction
 from faceoff_tpu.io.checkpoint import CheckpointManager
-from faceoff_tpu.models import VQVAE
 from faceoff_tpu.models.lpips import init_lpips
 from faceoff_tpu.train import create_train_state, make_eval_step
 
@@ -39,14 +39,10 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=16)
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--num_workers", type=int, default=4)
+    common.add_model_flags(p)
     args = p.parse_args(argv)
 
-    on_tpu = jax.default_backend() == "tpu"
-    model = VQVAE(
-        in_channels=6,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas=on_tpu,
-    )
+    model = common.build_vqvae(args)
     sample = jnp.zeros((1, args.frames, args.size, args.size, 6), jnp.float32)
     state = create_train_state(model, jax.random.key(0), sample)
     ckpt = CheckpointManager(args.checkpoint_dir)

@@ -26,9 +26,9 @@ from faceoff_tpu.data.dataset import (
     load_frame,
     normalize,
 )
+from faceoff_tpu.cli import common
 from faceoff_tpu.io.checkpoint import CheckpointManager
 from faceoff_tpu.io.video import save_frames_as_video
-from faceoff_tpu.models import VQVAE
 from faceoff_tpu.train import create_train_state, make_eval_step
 
 
@@ -51,6 +51,11 @@ def build_parser():
                    help="run the hull/Umeyama/warp/composite geometry on "
                         "the accelerator, fused into one program per chunk "
                         "with the model forward (host only decodes frames)")
+    p.add_argument("--streaming", action="store_true",
+                   help="frame-at-a-time online inference (constant memory, "
+                        "3-frame latency) instead of chunked batches; "
+                        "prints per-frame latency stats")
+    common.add_model_flags(p)
     return p
 
 
@@ -98,12 +103,7 @@ def main(argv=None):
             sources.append(normalize(out["source_face_transformed"]))
             backgrounds.append(normalize(out["target_without_face_features"]))
 
-    on_tpu = jax.default_backend() == "tpu"
-    model = VQVAE(
-        in_channels=6,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas=on_tpu,
-    )
+    model = common.build_vqvae(args)
     sample = jnp.zeros((1, args.chunk, args.size, args.size, 6), jnp.float32)
     state = create_train_state(model, jax.random.key(0), sample)
     ckpt = CheckpointManager(args.checkpoint_dir)
@@ -111,6 +111,61 @@ def main(argv=None):
         state, None if args.ckpt in (None, "latest") else int(args.ckpt)
     )
     print(f"restored checkpoint step {int(state.step)}")
+    if args.streaming:
+        frames_out = _run_streaming(args, model, state, sources, backgrounds)
+    else:
+        frames_out = _run_chunked(args, model, state, sources, backgrounds, n)
+
+    save_frames_as_video(frames_out, args.out, fps=args.fps)
+    print(f"wrote {args.out} ({len(frames_out)} frames)")
+
+    if args.save_streams:
+        stem = osp.splitext(args.out)[0]
+        save_frames_as_video(
+            [denormalize(f) for f in sources], f"{stem}_composite.mp4",
+            fps=args.fps,
+        )
+        save_frames_as_video(
+            [denormalize(f) for f in backgrounds], f"{stem}_background.mp4",
+            fps=args.fps,
+        )
+        print(f"wrote {stem}_composite.mp4, {stem}_background.mp4")
+
+
+def _run_streaming(args, model, state, sources, backgrounds):
+    """Frame-at-a-time online inference (faceoff_tpu.serve.streaming):
+    constant memory, `delay`-frame latency, one device program per frame."""
+    import time
+
+    from faceoff_tpu.serve import StreamingSwapper
+
+    variables = {"params": state.params, "vq": state.vq}
+    sw = StreamingSwapper(
+        model, variables, height=args.size, width=args.size
+    )
+    frames_out, lat_ms = [], []
+    for src, bg in zip(sources, backgrounds):
+        frame = np.concatenate([src, bg], axis=-1)[None]
+        t0 = time.perf_counter()
+        out = sw.push(jnp.asarray(frame))
+        if out is not None:
+            out = np.asarray(out)  # device->host read: real sync
+            lat_ms.append((time.perf_counter() - t0) * 1e3)
+            frames_out.append(denormalize(out[0, ..., :3]))
+    for out in sw.flush():
+        frames_out.append(denormalize(np.asarray(out)[0, ..., :3]))
+    if len(lat_ms) > 2:
+        steady = np.asarray(sorted(lat_ms[1:]))  # drop the compile frame
+        print(
+            f"streaming latency/frame: mean {steady.mean():.1f} ms, "
+            f"p50 {steady[len(steady) // 2]:.1f} ms, "
+            f"p90 {steady[int(len(steady) * 0.9)]:.1f} ms "
+            f"(pipeline delay {sw.delay} frames)"
+        )
+    return frames_out
+
+
+def _run_chunked(args, model, state, sources, backgrounds, n):
     eval_step = make_eval_step(model)
 
     frames_out = []
@@ -133,21 +188,7 @@ def main(argv=None):
         out_np = np.asarray(out[0])[: args.chunk - pad if pad else args.chunk]
         frames_out += [denormalize(f) for f in out_np]
         print(f"swapped {min(i + args.chunk, n)}/{n} frames", flush=True)
-
-    save_frames_as_video(frames_out, args.out, fps=args.fps)
-    print(f"wrote {args.out} ({len(frames_out)} frames)")
-
-    if args.save_streams:
-        stem = osp.splitext(args.out)[0]
-        save_frames_as_video(
-            [denormalize(f) for f in sources], f"{stem}_composite.mp4",
-            fps=args.fps,
-        )
-        save_frames_as_video(
-            [denormalize(f) for f in backgrounds], f"{stem}_background.mp4",
-            fps=args.fps,
-        )
-        print(f"wrote {stem}_composite.mp4, {stem}_background.mp4")
+    return frames_out
 
 
 if __name__ == "__main__":

@@ -324,26 +324,29 @@ def main(argv=None):
         ckpt.save(step_count, state.gen)
         disc_ckpt.save(step_count, _disc_bundle(state))
 
-    from faceoff_tpu.evaluation import make_fd_vgg
+    from faceoff_tpu.evaluation import make_fd_video
 
-    fd_fn = make_fd_vgg(fd_lpips_vars)
+    fd_fn = make_fd_video(fd_lpips_vars)
 
     def validate(epoch, step_count):
         run_validation(
             eval_step, state.gen, val_loader, args.sample_folder,
             epoch, step_count, mesh=mesh, max_batches=args.val_batches,
         )
-        # adversarial-quality proxy the reference lacks entirely: Fréchet
-        # distance between real and generated frames in VGG feature space
+        # adversarial-quality proxies the reference lacks entirely:
+        # Fréchet distances between real and generated clips in VGG
+        # feature space — fd_vgg (per-frame appearance) + fd_vgg_motion
+        # (frame-difference features, the FVD temporal-coherence role)
         batch = next(iter(val_loader))
         b = {k: jnp.asarray(batch[k]) for k in ("input", "gt")}
         out, _ = eval_step(state.gen, b)
-        real = b["gt"].reshape((-1,) + b["gt"].shape[2:])
-        fake = jnp.asarray(out).reshape((-1,) + out.shape[2:])
-        fd_val = float(fd_fn(real, fake))
-        print(f"fd_vgg: {fd_val:.4f}", flush=True)
+        fd_vals = {k: float(v) for k, v in fd_fn(b["gt"], out).items()}
+        print(
+            " ".join(f"{k}: {v:.4f}" for k, v in fd_vals.items()),
+            flush=True,
+        )
         if metrics_writer is not None:
-            metrics_writer.write(step_count, {"fd_vgg": fd_val}, epoch=epoch)
+            metrics_writer.write(step_count, fd_vals, epoch=epoch)
             metrics_writer.flush()
         save_all(step_count)
 

@@ -3,6 +3,8 @@ from faceoff_tpu.evaluation.frechet import (
     fid,
     frechet_distance,
     make_fd_vgg,
+    make_fd_video,
+    motion_features,
     vgg_features,
 )
 from faceoff_tpu.evaluation.metrics import psnr, ssim, evaluate_reconstruction
@@ -15,5 +17,7 @@ __all__ = [
     "fid",
     "frechet_distance",
     "make_fd_vgg",
+    "make_fd_video",
+    "motion_features",
     "vgg_features",
 ]

@@ -107,3 +107,43 @@ def make_fd_vgg(lpips_vars) -> Callable:
         return fid(fr, ff)
 
     return fd
+
+
+def motion_features(
+    lpips_vars, videos: jnp.ndarray, max_dim: int = 64
+) -> jnp.ndarray:
+    """Temporal-coherence features: pooled VGG activations of
+    consecutive-frame DIFFERENCES. This is the FVD role (motion
+    statistics) without I3D weights: per-frame features are blind to
+    frame ordering, frame-difference features are not — flicker, judder
+    and shuffled frames all move this distribution while leaving the
+    per-frame one untouched (temporal coherence is the system's whole
+    point, reference README.md:81-87).
+
+    videos: (B, T, H, W, 3) in [-1, 1]. Returns (B*(T-1), D).
+    """
+    diffs = (videos[:, 1:] - videos[:, :-1]) * 0.5  # stay within [-1, 1]
+    flat = diffs.reshape((-1,) + diffs.shape[2:])
+    return vgg_features(lpips_vars, flat, max_dim)
+
+
+def make_fd_video(lpips_vars) -> Callable:
+    """fd(real, fake) on (B,T,H,W,3) [-1,1] clips -> dict with
+    `fd_vgg` (appearance: per-frame VGG Fréchet distance) and
+    `fd_vgg_motion` (temporal: frame-difference VGG Fréchet distance)."""
+
+    def fd(real: jnp.ndarray, fake: jnp.ndarray):
+        fr = vgg_features(lpips_vars, real.reshape((-1,) + real.shape[2:]))
+        ff = vgg_features(lpips_vars, fake.reshape((-1,) + fake.shape[2:]))
+        mr = motion_features(lpips_vars, real)
+        mf = motion_features(lpips_vars, fake)
+        mu_fr, cov_fr = feature_stats(fr)
+        mu_ff, cov_ff = feature_stats(ff)
+        mu_mr, cov_mr = feature_stats(mr)
+        mu_mf, cov_mf = feature_stats(mf)
+        return {
+            "fd_vgg": frechet_distance(mu_fr, cov_fr, mu_ff, cov_ff),
+            "fd_vgg_motion": frechet_distance(mu_mr, cov_mr, mu_mf, cov_mf),
+        }
+
+    return fd

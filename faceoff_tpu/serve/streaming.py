@@ -1,0 +1,226 @@
+"""Streaming (online) swap inference: frame-at-a-time VQVAE forward with
+explicit temporal state.
+
+The offline forward (models/vqvae.py) consumes whole clips because the
+TemporalPostnet Conv3D stacks see the full time axis at once — which is
+also the only way the reference can run the model (reference
+models/vqvae_conv3d_latent.py:243-259 takes the folded clip; there is no
+online path). For live serving, each centered k-tap 'SAME' Conv3D layer is
+re-expressed as a sliding window over per-layer ring buffers: when input
+slice t arrives, a k=3 layer emits the output slice for time t-1 (its
+window center), so an n-layer postnet introduces n·(k//2) frames of
+latency and every slice is computed exactly once — no redundant window
+recompute, one XLA program per frame.
+
+Numerical parity with the offline clip forward (tests/test_streaming.py):
+
+  * zero-initialized buffers reproduce the 'SAME' zero padding at the
+    stream head;
+  * flushing with zero encoder slices reproduces it at the tail;
+  * because 'SAME' zero-pads EVERY layer's input independently, slices
+    whose time index falls outside [0, T) are masked to zero at each
+    layer boundary (a freshly-started stream would otherwise leak each
+    layer's bias through the warmup frames).
+
+Everything downstream of the postnets (1x1 projections, VQ lookup, top
+decoder, final decoder) is per-frame 2D compute, so the quantize+decode of
+one output slice fuses into the same jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceoff_tpu.models.vqvae import VQVAE
+
+_FAR_FUTURE = np.iinfo(np.int32).max  # 'total' while the stream is open
+
+
+def _postnet_stream(
+    pn_params: Dict[str, Any],
+    bufs: Tuple[jnp.ndarray, ...],
+    x: jnp.ndarray,
+    s: jnp.ndarray,
+    total: jnp.ndarray,
+    *,
+    dtype,
+    n_layers: int,
+    kernel: int,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """One streaming step through a TemporalPostnet conv stack.
+
+    bufs[i]: (B, kernel-1, H, W, C) — layer i's most recent input slices.
+    x: (B, H, W, C) — the new layer-0 input slice, for time index `s`.
+    Returns (new_bufs, emitted slice for time s - n_layers*(kernel//2)).
+    """
+    d = kernel // 2
+    sp = ((d, d), (d, d))  # spatial 'SAME' for odd kernels
+    new_bufs = []
+    h = x
+    for i in range(n_layers):
+        lp = pn_params[f"Conv_{i}"]
+        window = jnp.concatenate([bufs[i], h[:, None]], axis=1)
+        new_bufs.append(window[:, 1:])
+        out = jax.lax.conv_general_dilated(
+            window.astype(dtype),
+            lp["kernel"].astype(dtype),
+            (1, 1, 1),
+            ((0, 0),) + sp,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + lp["bias"].astype(dtype)
+        out = out[:, 0]  # the window center: time s - (i+1)*d
+        if i < n_layers - 1:
+            out = jax.nn.relu(out)
+        t_i = s - (i + 1) * d
+        valid = jnp.logical_and(t_i >= 0, t_i < total)
+        h = jnp.where(valid, out, jnp.zeros_like(out))
+    return tuple(new_bufs), h
+
+
+def make_stream_steps(model: VQVAE, variables):
+    """Build the jitted streaming primitives for a VQVAE.
+
+    Returns (init_state, push_step, flush_step, delay):
+      init_state(batch, height, width) -> state pytree (zero buffers, s=0)
+      push_step(state, frame)  -> (state, out)   frame: (B, H, W, in_ch)
+      flush_step(state, total) -> (state, out)   zero encoder slices
+    where `out` is the decoded (B, H, W, out_ch) float32 slice for input
+    time `state.s - delay` (garbage while that index is out of range —
+    StreamingSwapper tracks validity on the host).
+    """
+    if model.temporal_kernel % 2 != 1:
+        raise ValueError("streaming requires an odd temporal kernel")
+    n_layers = model.temporal_postnet_layers
+    kernel = model.temporal_kernel
+    delay = n_layers * (kernel // 2)
+    dtype = model.dtype
+
+    def init_state(batch: int, height: int, width: int):
+        if height % 8 or width % 8:
+            raise ValueError("height/width must be multiples of 8")
+        h4, w4 = height // 4, width // 4
+        h8, w8 = height // 8, width // 8
+        ch = model.channel
+
+        def bufs(h, w):
+            return tuple(
+                jnp.zeros((batch, kernel - 1, h, w, ch), dtype)
+                for _ in range(n_layers)
+            )
+
+        return {
+            "bufs_b": bufs(h4, w4),
+            "bufs_t": bufs(h8, w8),
+            "s": jnp.zeros((), jnp.int32),
+        }
+
+    def _blend_decode(state, enc_b, enc_t, total):
+        params = variables["params"]
+        s = state["s"]
+        bufs_b, pb = _postnet_stream(
+            params["postnet_b"], state["bufs_b"], enc_b, s, total,
+            dtype=dtype, n_layers=n_layers, kernel=kernel,
+        )
+        bufs_t, pt = _postnet_stream(
+            params["postnet_t"], state["bufs_t"], enc_t, s, total,
+            dtype=dtype, n_layers=n_layers, kernel=kernel,
+        )
+        quant_t, quant_b, _, _, _ = model.apply(
+            variables, pb, pt, train=False, method=VQVAE.encode_quantized
+        )
+        out = model.apply(variables, quant_t, quant_b, method=VQVAE.decode)
+        new_state = {"bufs_b": bufs_b, "bufs_t": bufs_t, "s": s + 1}
+        return new_state, out.astype(jnp.float32)
+
+    @jax.jit
+    def push_step(state, frame):
+        enc_b, enc_t = model.apply(
+            variables, frame[:, None], method=VQVAE.only_encode
+        )
+        return _blend_decode(
+            state, enc_b[:, 0], enc_t[:, 0], jnp.int32(_FAR_FUTURE)
+        )
+
+    @jax.jit
+    def flush_step(state, total):
+        ref = state["bufs_b"][0]
+        enc_b = jnp.zeros(ref.shape[:1] + ref.shape[2:], dtype)
+        ref_t = state["bufs_t"][0]
+        enc_t = jnp.zeros(ref_t.shape[:1] + ref_t.shape[2:], dtype)
+        return _blend_decode(state, enc_b, enc_t, total)
+
+    return init_state, push_step, flush_step, delay
+
+
+class StreamingSwapper:
+    """Frame-at-a-time swap inference with constant memory and
+    `delay = n_postnet_layers * (temporal_kernel // 2)` frames of latency.
+
+    >>> sw = StreamingSwapper(model, variables, height=256, width=256)
+    >>> for frame in live_frames:           # (B, H, W, 6) in [-1, 1]
+    ...     out = sw.push(frame)            # (B, H, W, out_ch) or None
+    >>> tail = sw.flush()                   # the last `delay` frames
+
+    Outputs are numerically the offline clip forward's (same zero 'SAME'
+    padding at head and tail).
+    """
+
+    def __init__(
+        self,
+        model: VQVAE,
+        variables,
+        *,
+        height: int,
+        width: int,
+        batch: int = 1,
+    ):
+        self._init_state, self._push, self._flush, self.delay = (
+            make_stream_steps(model, variables)
+        )
+        self._shape = (batch, height, width)
+        self.reset()
+
+    def reset(self) -> None:
+        b, h, w = self._shape
+        self._state = self._init_state(b, h, w)
+        self._n_pushed = 0
+
+    def push(self, frame) -> Optional[jnp.ndarray]:
+        """Feed one input frame; returns the decoded frame for input time
+        `n_pushed - delay` once the pipeline is warm, else None."""
+        self._state, out = self._push(self._state, jnp.asarray(frame))
+        self._n_pushed += 1
+        if self._n_pushed - 1 - self.delay >= 0:
+            return out
+        return None
+
+    def flush(self) -> List[jnp.ndarray]:
+        """End the stream: emit the final frames held in the pipeline."""
+        total = jnp.int32(self._n_pushed)
+        outs = []
+        for j in range(self.delay):
+            t_out = self._n_pushed + j - self.delay
+            self._state, out = self._flush(self._state, total)
+            if 0 <= t_out < self._n_pushed:
+                outs.append(out)
+        return outs
+
+
+def stream_video(model: VQVAE, variables, video: jnp.ndarray) -> jnp.ndarray:
+    """Run a whole (B, T, H, W, C) clip through the streaming path and
+    return the (B, T, H, W, out_ch) reconstruction — the streaming
+    equivalent of `model.apply(variables, video)[0]`, for parity tests and
+    the `--streaming` swap CLI."""
+    b, t, h, w = video.shape[:4]
+    sw = StreamingSwapper(model, variables, height=h, width=w, batch=b)
+    outs = []
+    for i in range(t):
+        out = sw.push(video[:, i])
+        if out is not None:
+            outs.append(out)
+    outs.extend(sw.flush())
+    return jnp.stack(outs, axis=1)

@@ -105,6 +105,50 @@ class TestGANCLI:
         assert glob(str(tmp_path / "c" / "disc") + "/*")
 
 
+class TestSwapCLI:
+    def test_streaming_matches_chunked(self, synth_root, tmp_path):
+        """The swap CLI's online (--streaming) and chunked paths produce
+        the same video from the same checkpoint, and model-size flags let
+        non-default checkpoints load."""
+        import jax
+        import jax.numpy as jnp
+
+        from faceoff_tpu.cli.swap import main as swap_main
+        from faceoff_tpu.io.checkpoint import CheckpointManager
+        from faceoff_tpu.io.video import read_video_frames
+        from faceoff_tpu.models import VQVAE
+        from faceoff_tpu.train import create_train_state
+
+        model = VQVAE(
+            in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+            embed_dim=8, n_embed=32, dtype=jnp.float32, use_pallas=False,
+        )
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 2, 64, 64, 6))
+        )
+        mgr = CheckpointManager(str(tmp_path / "c"))
+        mgr.save(0, state)
+        mgr.close()
+
+        src = synth_root + "/video_000"
+        tgt = synth_root + "/video_001"
+        base = [
+            "--source", src, "--target", tgt,
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--size", "64", "--chunk", "4", "--max_frames", "6",
+            *TINY_MODEL_FLAGS,
+        ]
+        swap_main(base + ["--out", str(tmp_path / "chunked.mp4")])
+        swap_main(
+            base + ["--streaming", "--out", str(tmp_path / "stream.mp4")]
+        )
+        a = np.stack(read_video_frames(str(tmp_path / "chunked.mp4")))
+        b = np.stack(read_video_frames(str(tmp_path / "stream.mp4")))
+        assert a.shape == b.shape and a.shape[0] == 6
+        # identical numerics; residual differences are codec noise
+        assert np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))) < 2.0
+
+
 class TestPreprocessCLI:
     def test_all_stages(self, tmp_path):
         from faceoff_tpu.cli.preprocess import main

@@ -9,6 +9,7 @@ from faceoff_tpu.evaluation import (
     fid,
     frechet_distance,
     make_fd_vgg,
+    make_fd_video,
 )
 
 
@@ -68,3 +69,39 @@ class TestFdVgg:
         d_big = float(fd(real, big.astype(jnp.float32)))
         assert d_small < d_big
         assert np.isfinite(d_small) and np.isfinite(d_big)
+
+
+class TestFdVideo:
+    def test_motion_metric_detects_temporal_corruption(self):
+        """Shuffling frames within each clip destroys temporal coherence
+        but leaves every individual frame intact: fd_vgg_motion must move
+        sharply while fd_vgg (per-frame appearance) stays near zero —
+        the discrimination FVD provides over FID."""
+        from faceoff_tpu.models.lpips import init_lpips
+
+        _, variables = init_lpips(jax.random.key(0), image_size=32)
+        fd = make_fd_video(variables)
+        rng = np.random.default_rng(3)
+        # smooth synthetic clips: drifting gradient + noise texture
+        b, t, hw = 4, 8, 32
+        base = rng.uniform(-0.5, 0.5, (b, 1, hw, hw, 3))
+        drift = np.linspace(0, 0.4, t)[None, :, None, None, None]
+        real = np.clip(
+            base + drift + 0.02 * rng.normal(size=(b, t, hw, hw, 3)), -1, 1
+        ).astype(np.float32)
+        perm = rng.permutation(t)
+        shuffled = real[:, perm]
+
+        same = {k: float(v) for k, v in fd(jnp.asarray(real),
+                                           jnp.asarray(real)).items()}
+        # the eigh-based sqrtm has a ~0.01 numerical noise floor
+        assert abs(same["fd_vgg"]) < 0.05
+        assert abs(same["fd_vgg_motion"]) < 0.05
+
+        shuf = {k: float(v) for k, v in fd(jnp.asarray(real),
+                                           jnp.asarray(shuffled)).items()}
+        # identical frame set -> appearance distance stays at noise level
+        assert abs(shuf["fd_vgg"]) < 0.05
+        # broken ordering -> motion distance far above the noise floor
+        assert shuf["fd_vgg_motion"] > 0.2
+        assert shuf["fd_vgg_motion"] > 10 * abs(shuf["fd_vgg"])

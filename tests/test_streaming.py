@@ -1,0 +1,106 @@
+"""Streaming (frame-at-a-time) inference parity vs the offline clip
+forward. The reference has no online path at all (its model only runs on
+whole folded clips, reference models/vqvae_conv3d_latent.py:243-259);
+these tests pin the streaming re-expression of the centered Conv3D stacks
+to the exact offline numerics, including the zero 'SAME' padding at the
+stream head and tail."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faceoff_tpu.models import VQVAE
+from faceoff_tpu.serve import StreamingSwapper, stream_video
+
+
+def tiny_model(**kw):
+    cfg = dict(
+        in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+        embed_dim=8, n_embed=32, dtype=jnp.float32, use_pallas=False,
+    )
+    cfg.update(kw)
+    return VQVAE(**cfg)
+
+
+def init_video(model, b, t, hw, seed=0):
+    rng = np.random.default_rng(seed)
+    video = jnp.asarray(
+        rng.uniform(-1, 1, (b, t, hw, hw, model.in_channels)), jnp.float32
+    )
+    variables = model.init(jax.random.key(0), video, train=False)
+    return video, variables
+
+
+@pytest.mark.parametrize("t", [7, 2])
+def test_stream_matches_offline(t):
+    """Streamed reconstruction == offline clip forward, incl. a clip
+    shorter than the pipeline latency (t=2 < delay=3)."""
+    model = tiny_model()
+    video, variables = init_video(model, 1, t, 32)
+    offline, _ = model.apply(variables, video, train=False)
+    streamed = stream_video(model, variables, video)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=2e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize(
+    "layers,kernel,expected_delay", [(2, 3, 2), (1, 3, 1), (2, 5, 4)]
+)
+def test_stream_nondefault_postnets(layers, kernel, expected_delay):
+    model = tiny_model(
+        temporal_postnet_layers=layers, temporal_kernel=kernel
+    )
+    video, variables = init_video(model, 1, 6, 32, seed=1)
+    offline, _ = model.apply(variables, video, train=False)
+    sw = StreamingSwapper(model, variables, height=32, width=32)
+    assert sw.delay == expected_delay
+    streamed = stream_video(model, variables, video)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_stream_batched_streams():
+    """batch=2 concurrent independent streams."""
+    model = tiny_model()
+    video, variables = init_video(model, 2, 5, 32, seed=2)
+    offline, _ = model.apply(variables, video, train=False)
+    streamed = stream_video(model, variables, video)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(offline), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_push_flush_bookkeeping():
+    model = tiny_model()
+    video, variables = init_video(model, 1, 6, 32, seed=3)
+    sw = StreamingSwapper(model, variables, height=32, width=32)
+    outs = []
+    for i in range(6):
+        out = sw.push(video[:, i])
+        if i < sw.delay:
+            assert out is None  # warmup: nothing valid yet
+        else:
+            assert out is not None
+            outs.append(out)
+    tail = sw.flush()
+    assert len(tail) == sw.delay
+    assert len(outs) + len(tail) == 6
+    # reset() starts a fresh stream with identical results
+    first_run = np.asarray(jnp.stack(outs + tail, axis=1))
+    sw.reset()
+    outs2 = [sw.push(video[:, i]) for i in range(6)]
+    second_run = np.asarray(
+        jnp.stack([o for o in outs2 if o is not None] + sw.flush(), axis=1)
+    )
+    np.testing.assert_array_equal(first_run, second_run)
+
+
+def test_stream_rejects_even_kernel():
+    model = tiny_model(temporal_kernel=2)
+    video, variables = init_video(model, 1, 4, 32, seed=4)
+    with pytest.raises(ValueError, match="odd temporal kernel"):
+        StreamingSwapper(model, variables, height=32, width=32)
