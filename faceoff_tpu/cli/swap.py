@@ -74,25 +74,42 @@ def main(argv=None):
         raise SystemExit("no overlapping frames with landmarks")
 
     if args.device_pipeline:
-        # host only decodes; hull/Umeyama/warp/composite run on device
-        # fused with the model forward (one XLA program per chunk)
+        # host only decodes; hull/Umeyama/warp/composite run on device.
+        # Processed in fixed-size chunks (padded tail) so arbitrarily long
+        # videos reuse ONE compiled program at bounded device memory.
         from faceoff_tpu.ops.swap import prepare_swap_batch
 
-        raw = {"src": [], "src_lms": [], "tgt": [], "tgt_lms": []}
-        for sp, tp in zip(src_paths[:n], tgt_paths[:n]):
-            s_img, s_lms = load_frame(sp, args.size)
-            t_img, t_lms = load_frame(tp, args.size)
-            raw["src"].append(s_img)
-            raw["src_lms"].append(s_lms)
-            raw["tgt"].append(t_img)
-            raw["tgt_lms"].append(t_lms)
-        raw = {k: np.stack(v) for k, v in raw.items()}
-        streams = prepare_swap_batch(
-            jnp.asarray(raw["src"]), jnp.asarray(raw["src_lms"]),
-            jnp.asarray(raw["tgt"]), jnp.asarray(raw["tgt_lms"]),
-        )
-        sources = list(np.asarray(streams["source"]))
-        backgrounds = list(np.asarray(streams["background"]))
+        sources, backgrounds = [], []
+        for i in range(0, n, args.chunk):
+            raw = {"src": [], "src_lms": [], "tgt": [], "tgt_lms": []}
+            pairs = list(
+                zip(src_paths[i: i + args.chunk],
+                    tgt_paths[i: i + args.chunk])
+            )
+            for sp, tp in pairs:
+                s_img, s_lms = load_frame(sp, args.size)
+                t_img, t_lms = load_frame(tp, args.size)
+                raw["src"].append(s_img)
+                raw["src_lms"].append(s_lms)
+                raw["tgt"].append(t_img)
+                raw["tgt_lms"].append(t_lms)
+            pad = args.chunk - len(pairs)
+            stacked = {}
+            for k, v in raw.items():
+                arr = np.stack(v)
+                if pad:
+                    arr = np.pad(
+                        arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+                    )
+                stacked[k] = arr
+            streams = prepare_swap_batch(
+                jnp.asarray(stacked["src"]), jnp.asarray(stacked["src_lms"]),
+                jnp.asarray(stacked["tgt"]), jnp.asarray(stacked["tgt_lms"]),
+            )
+            sources += list(np.asarray(streams["source"]))[: len(pairs)]
+            backgrounds += list(
+                np.asarray(streams["background"])
+            )[: len(pairs)]
     else:
         # host-side geometry: hull -> warp -> composite per frame pair
         sources, backgrounds = [], []

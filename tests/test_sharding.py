@@ -99,6 +99,57 @@ class TestShardedForward:
         assert np.isfinite(float(gm["g_loss"]))
         assert np.isfinite(float(dm["d_3d_loss"]))
 
+    def test_long_clip_time_sharded_train_step(self, devices):
+        """Long-clip (T=64) TRAINING with the frame axis sharded 8-way —
+        the sequence-parallel regime (SURVEY §5: shard T with halo
+        exchanges around the Conv3D receptive field; here XLA's SPMD
+        partitioner inserts them). The sharded optimizer step must match
+        the unsharded one: loss, metrics, and updated parameters."""
+        from faceoff_tpu.train import create_train_state, make_train_step
+
+        model = tiny_model()
+        t_frames = 64
+        gt = jax.random.uniform(
+            jax.random.key(5), (1, t_frames, 32, 32, 3), minval=-1, maxval=1
+        )
+        batch = {"input": jnp.concatenate([gt, gt], -1), "gt": gt}
+        state = create_train_state(
+            model, jax.random.key(6), batch["input"], lr=1e-3
+        )
+        step = make_train_step(model, donate=False)
+
+        ref_state, ref_m = step(state, batch)
+
+        mesh = make_mesh(data=1, time=8)
+        sharded = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(None, "time"))
+            ),
+            batch,
+        )
+        repl = NamedSharding(mesh, P())
+        state_r = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl)
+            if isinstance(x, jax.Array) else x,
+            state,
+        )
+        out_state, m = step(state_r, sharded)
+
+        np.testing.assert_allclose(
+            float(m["loss"]), float(ref_m["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m["mse"]), float(ref_m["mse"]), rtol=1e-5
+        )
+        for ref_leaf, leaf in zip(
+            jax.tree_util.tree_leaves(ref_state.params),
+            jax.tree_util.tree_leaves(out_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(ref_leaf),
+                rtol=1e-4, atol=1e-5,
+            )
+
     def test_data_time_combined(self, model_vars, devices):
         model, variables = model_vars
         video = jax.random.normal(jax.random.key(2), (4, 4, 32, 32, 6))
