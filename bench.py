@@ -233,6 +233,99 @@ def bench_infer(batch: int = 1):
     )
 
 
+def bench_gan(scan: int = 0):
+    """Adversarial fine-tuning throughput (mocoganhd recipe at the
+    reference's 16-frame window): alternating gen/disc optimizer steps,
+    optionally K iterations per dispatch via make_gan_multi_step."""
+    import numpy as np
+
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.models.discriminators import (
+        MultiscaleDiscriminator2D,
+        MultiscaleDiscriminator3D,
+    )
+    from faceoff_tpu.train import create_train_state
+    from faceoff_tpu.train.gan import (
+        create_gan_state,
+        make_gan_multi_step,
+        make_gan_steps,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    t, sf = 16, 16
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    d_img = MultiscaleDiscriminator2D()
+    d_3d = MultiscaleDiscriminator3D(n_frames=sf)
+    gt = jax.random.uniform(
+        jax.random.key(0), (B, t, HW, HW, 3), minval=-1, maxval=1
+    )
+    batch = {"input": jnp.concatenate([gt, gt], axis=-1), "gt": gt}
+    gen_state = create_train_state(model, jax.random.key(1), batch["input"])
+    state = create_gan_state(
+        gen_state, d_img, d_3d, jax.random.key(2),
+        sample_frames=sf, image_hw=HW,
+    )
+
+    if scan > 1:
+        multi = make_gan_multi_step(
+            model, d_img, d_3d, scan, sample_frames=sf, donate=False
+        )
+        batches = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (scan,) + x.shape), batch
+        )
+        keys = jax.random.split(jax.random.key(3), scan)
+
+        def one(i):
+            nonlocal state
+            state, m = multi(
+                state, batches, jnp.asarray(i % 2 == 0), keys
+            )
+            return m["g_loss"]
+
+        steps_per_call = scan
+    else:
+
+        gen_step, disc_step = make_gan_steps(
+            model, d_img, d_3d, sample_frames=sf, donate=False
+        )
+
+        def one(i):
+            nonlocal state
+            state, m = gen_step(state, batch, jax.random.key(2 * i))
+            state, dm = disc_step(state, batch, jax.random.key(2 * i + 1))
+            return m["g_loss"]
+
+        steps_per_call = 2  # one gen + one disc per call
+
+    for i in range(2):
+        out = one(i)
+    np.asarray(out).ravel()[:1]
+
+    calls = 6
+    t0 = time.perf_counter()
+    for i in range(calls):
+        out = one(i)
+    np.asarray(out).ravel()[:1]
+    dt = time.perf_counter() - t0
+    fps = B * t * steps_per_call * calls / dt
+    name = f"gan_train_frames_per_sec_256px_T16_scan{scan}" if scan > 1 \
+        else "gan_train_frames_per_sec_256px_T16"
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
+            }
+        )
+    )
+
+
 def bench_stream():
     """Online serving latency: frame-at-a-time swap inference through the
     streaming path (faceoff_tpu.serve.streaming) on the flagship model at
@@ -348,7 +441,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["step", "multi", "e2e", "e2e_host", "stream", "infer"],
+        choices=["step", "multi", "e2e", "e2e_host", "stream", "infer", "gan"],
         default="step",
         help="step: device-only train step (driver default); "
              "multi: K steps per dispatch via lax.scan; "
@@ -358,6 +451,8 @@ if __name__ == "__main__":
     )
     ap.add_argument("--batch", type=int, default=1,
                     help="clips per step for the e2e modes")
+    ap.add_argument("--scan", type=int, default=0,
+                    help="gan mode: K iterations per dispatch (0 = off)")
     cli = ap.parse_args()
     mode = cli.mode
     if mode == "step":
@@ -368,5 +463,7 @@ if __name__ == "__main__":
         bench_stream()
     elif mode == "infer":
         bench_infer(batch=cli.batch)
+    elif mode == "gan":
+        bench_gan(scan=cli.scan)
     else:
         bench_e2e(device_pipeline=(mode == "e2e"), batch=cli.batch)

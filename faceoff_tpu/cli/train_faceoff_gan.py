@@ -105,6 +105,11 @@ def build_parser():
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(mocoganhd recipe only)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="K alternating gen/disc iterations per dispatch "
+                        "via lax.scan (mocoganhd only) — amortizes "
+                        "per-step launch latency; validation/log cadences "
+                        "quantize to dispatch boundaries")
     # model-size overrides (tiny configs for smoke tests)
     p.add_argument("--channel", type=int, default=128)
     p.add_argument("--n_res_block", type=int, default=2)
@@ -156,6 +161,9 @@ def main(argv=None):
         args.data_root, "train", args.train_frames, resolution=args.size
     )
     prepare_fn = None
+    if args.steps_per_call > 1 and args.gan != "mocoganhd":
+        raise SystemExit("--steps_per_call currently supports "
+                         "--gan mocoganhd only")
     if args.device_pipeline:
         if args.gan != "mocoganhd":
             raise SystemExit("--device_pipeline currently supports "
@@ -214,8 +222,13 @@ def main(argv=None):
     # build the recipe: a `run_step(state, batch, step_count, key) ->
     # (state, log line)` closure — one loop for all three adversarial
     # recipes instead of the reference's five copy-pasted trainer files
+    multi_step = None
     if args.gan == "mocoganhd":
-        from faceoff_tpu.train.gan import create_gan_state, make_gan_steps
+        from faceoff_tpu.train.gan import (
+            create_gan_state,
+            make_gan_multi_step,
+            make_gan_steps,
+        )
 
         d_img = MultiscaleDiscriminator2D(ndf=args.ndf)
         d_3d = MultiscaleDiscriminator3D(ndf=args.ndf, n_frames=args.sample_frames)
@@ -224,11 +237,18 @@ def main(argv=None):
             sample_frames=args.sample_frames, image_hw=args.size,
             disc_lr=args.disc_lr,
         )
-        gen_step, disc_step = make_gan_steps(
-            model, d_img, d_3d, sample_frames=args.sample_frames,
+        step_kwargs = dict(
+            sample_frames=args.sample_frames,
             perceptual_loss_weight=1.0 if args.perceptual else 0.0,
             lpips_apply=lpips_apply, prepare_fn=prepare_fn,
         )
+        gen_step, disc_step = make_gan_steps(
+            model, d_img, d_3d, **step_kwargs
+        )
+        if args.steps_per_call > 1:
+            multi_step = make_gan_multi_step(
+                model, d_img, d_3d, args.steps_per_call, **step_kwargs
+            )
 
         def run_step(state, batch, step_count, key):
             # alternate gen/disc (reference :187-190); metrics stay device
@@ -351,21 +371,64 @@ def main(argv=None):
         save_all(step_count)
 
     # -- the one training loop
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     step_count = step0
     pending = []  # (step, device-scalar metrics) — host reads at log cadence
     done = False
+    spc = args.steps_per_call if multi_step is not None else 1
+    acc = []  # microbatch accumulator for steps_per_call > 1
+    last_log = last_val = step0
+    stacked_sharding = NamedSharding(mesh, P(None, "data"))
     for epoch in range(args.epoch):
         for batch in loader:
-            key = jax.random.key(args.seed * 100003 + step_count)
             batch = {
                 k: v for k, v in batch.items()
                 if k in ("input", "gt", "frames", "landmarks")
             }
-            batch = shard_batch(batch, mesh)
-            state, m = run_step(state, batch, step_count, key)
-            step_count += 1
-            pending.append((step_count, epoch, m))
-            if step_count % args.log_every == 0:
+            if spc > 1:
+                # K alternating gen/disc iterations per dispatch: stack K
+                # microbatches (clips still shard over 'data' on axis 1)
+                acc.append(batch)
+                if len(acc) < spc:
+                    continue
+                stacked = {
+                    k: np.stack([b[k] for b in acc]) for k in acc[0]
+                }
+                acc = []
+                sharded = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, stacked_sharding), stacked
+                )
+                keys = jnp.stack([
+                    jax.random.key(args.seed * 100003 + step_count + j)
+                    for j in range(spc)
+                ])
+                from faceoff_tpu.train.gan import (
+                    DISC_METRIC_KEYS,
+                    GEN_METRIC_KEYS,
+                )
+
+                state, seq_m = multi_step(
+                    state, sharded,
+                    jnp.asarray(step_count % 2 == 0), keys, lpips_vars,
+                )
+                for j in range(spc):
+                    kind = (
+                        GEN_METRIC_KEYS if step_count % 2 == 0
+                        else DISC_METRIC_KEYS
+                    )
+                    m_j = {k: seq_m[k][j] for k in kind}
+                    step_count += 1
+                    pending.append((step_count, epoch, m_j))
+            else:
+                key = jax.random.key(args.seed * 100003 + step_count)
+                batch = shard_batch(batch, mesh)
+                state, m = run_step(state, batch, step_count, key)
+                step_count += 1
+                pending.append((step_count, epoch, m))
+            if step_count - last_log >= args.log_every:
+                last_log = step_count
                 for s, e, pm in pending:
                     vals = {k: float(v) for k, v in pm.items()}
                     if metrics_writer is not None:
@@ -381,7 +444,8 @@ def main(argv=None):
                 save_all(step_count)
                 done = True
                 break
-            if step_count % args.validate_at == 0:
+            if step_count - last_val >= args.validate_at:
+                last_val = step_count
                 validate(epoch, step_count)
             if args.steps and step_count >= args.steps:
                 done = True

@@ -287,3 +287,75 @@ def make_gan_steps(
         )
 
     return gen_step, disc_step
+
+
+GEN_METRIC_KEYS = ("g_loss", "mse", "latent", "g_2d", "g_3d", "perceptual")
+DISC_METRIC_KEYS = ("d_3d_loss", "d_img_loss")
+
+
+def make_gan_multi_step(
+    model,
+    d_img,
+    d_3d,
+    steps_per_call: int,
+    *,
+    donate: bool = True,
+    **step_kwargs,
+):
+    """K alternating gen/disc iterations per dispatch via `lax.scan` —
+    the reference's even/odd alternation (reference
+    disc_trainers/train_vqvae_mocoganhd_disc_single.py:338-341) with K
+    microbatches riding ONE XLA program, amortizing per-step dispatch
+    latency exactly as train_step.make_multi_step does for the
+    perceptual stage.
+
+    Returns multi_step(state, batches, first_is_gen, keys, lpips_vars)
+    -> (state, metrics) where every batch leaf and `keys` carry a leading
+    `steps_per_call` axis, `first_is_gen` is a traced bool giving the
+    parity of the first iteration, and metrics are stacked (K,)
+    device scalars over the union of gen/disc keys plus an `is_gen`
+    indicator (off-parity entries are zero)."""
+    gen_step, disc_step = make_gan_steps(
+        model, d_img, d_3d, donate=False, **step_kwargs
+    )
+    gen_inner, disc_inner = gen_step.__wrapped__, disc_step.__wrapped__
+    all_keys = GEN_METRIC_KEYS + DISC_METRIC_KEYS
+
+    def pad(m):
+        return {
+            k: jnp.asarray(m.get(k, 0.0), jnp.float32) for k in all_keys
+        }
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(
+        state: GANTrainState,
+        batches: Dict[str, jnp.ndarray],
+        first_is_gen: jnp.ndarray,
+        keys: jax.Array,
+        lpips_vars: Any = None,
+    ):
+        def body(carry, xs):
+            st, is_gen = carry
+            batch, key = xs
+
+            def g(s):
+                s2, m = gen_inner(s, batch, key, lpips_vars)
+                return s2, pad(m)
+
+            def d(s):
+                s2, m = disc_inner(s, batch, key)
+                return s2, pad(m)
+
+            st2, m = jax.lax.cond(is_gen, g, d, st)
+            m["is_gen"] = is_gen.astype(jnp.float32)
+            return (st2, jnp.logical_not(is_gen)), m
+
+        (state_out, _), seq = jax.lax.scan(
+            body,
+            (state, jnp.asarray(first_is_gen, bool)),
+            (batches, keys),
+            length=steps_per_call,
+        )
+        return state_out, seq
+
+    return multi_step

@@ -89,6 +89,32 @@ class TestGANCLI:
         lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
         assert lines[-1]["step"] == 4  # continued, not restarted
 
+    def test_steps_per_call_scan(self, synth_root, tmp_path):
+        """--steps_per_call 2: two alternating gen/disc iterations ride
+        one lax.scan dispatch; metrics for both substeps land in the
+        JSONL with the right key sets."""
+        from faceoff_tpu.cli.train_faceoff_gan import main
+
+        main([
+            "--data_root", synth_root, "--gan", "mocoganhd",
+            "--size", "64", "--train_frames", "6", "--sample_frames", "4",
+            "--val_frames", "4", "--validate_at", "100000",
+            "--num_workers", "1", "--log_every", "2", "--batch_size", "1",
+            "--steps", "4", "--steps_per_call", "2",
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--sample_folder", str(tmp_path / "s"),
+            "--metrics_path", str(tmp_path / "m.jsonl"),
+            *GAN_TINY_FLAGS,
+        ])
+        lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+        gen_lines = [l for l in lines if "g_loss" in l]
+        disc_lines = [l for l in lines if "d_3d_loss" in l]
+        assert len(gen_lines) == 2 and len(disc_lines) == 2
+        assert all(np.isfinite(l["g_loss"]) for l in gen_lines)
+        # gen on odd output steps (1,3), disc on even (2,4)
+        assert sorted(l["step"] for l in gen_lines) == [1, 3]
+        assert sorted(l["step"] for l in disc_lines) == [2, 4]
+
     @pytest.mark.parametrize("recipe", ["mocogan", "vqgan"])
     def test_other_recipes_smoke(self, synth_root, tmp_path, recipe):
         from faceoff_tpu.cli.train_faceoff_gan import main

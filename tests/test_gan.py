@@ -186,3 +186,89 @@ def test_gan_steps_with_device_pipeline():
     state, dm = disc_step(state, raw, jax.random.key(3))
     assert np.isfinite(float(gm["g_loss"]))
     assert np.isfinite(float(dm["d_3d_loss"]))
+
+
+def test_gan_multi_step_matches_sequential(setup):
+    """make_gan_multi_step(K) over K microbatches == K sequential
+    alternating gen/disc steps with the same batches and keys: identical
+    final state (all parameter partitions + optimizer states) and the
+    same per-iteration losses."""
+    from faceoff_tpu.models.discriminators import (
+        MultiscaleDiscriminator2D,
+        MultiscaleDiscriminator3D,
+    )
+    from faceoff_tpu.train.gan import make_gan_multi_step
+
+    state, batch, gen_step, disc_step = setup
+    model = VQVAE(
+        in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+        embed_dim=8, n_embed=32, dtype=jnp.float32,
+    )
+    d_img = MultiscaleDiscriminator2D(ndf=8, n_layers=2, num_D=2)
+    d_3d = MultiscaleDiscriminator3D(ndf=8, n_layers=2, num_D=2)
+
+    k = 4
+    keys = jax.random.split(jax.random.key(7), k)
+    rng = np.random.default_rng(9)
+    batches = {
+        name: jnp.asarray(
+            np.stack([
+                np.asarray(batch[name]) * (1.0 - 0.05 * j) for j in range(k)
+            ])
+        )
+        for name in ("input", "gt")
+    }
+
+    # sequential reference: gen on even, disc on odd (step_count from 0)
+    seq_state = state
+    seq_losses = []
+    for j in range(k):
+        b = {n: batches[n][j] for n in batches}
+        if j % 2 == 0:
+            seq_state, m = gen_step(seq_state, b, keys[j])
+            seq_losses.append(float(m["g_loss"]))
+        else:
+            seq_state, m = disc_step(seq_state, b, keys[j])
+            seq_losses.append(float(m["d_3d_loss"]))
+
+    multi = make_gan_multi_step(
+        model, d_img, d_3d, k, sample_frames=SAMPLE_FRAMES, donate=False
+    )
+    out_state, seq_metrics = multi(
+        state, batches, jnp.asarray(True), keys
+    )
+
+    got = [
+        float(seq_metrics["g_loss"][j]) if j % 2 == 0
+        else float(seq_metrics["d_3d_loss"][j])
+        for j in range(k)
+    ]
+    # per-iteration losses match the independently-jitted gen/disc steps
+    np.testing.assert_allclose(got, seq_losses, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(seq_metrics["is_gen"]), [1.0, 0.0, 1.0, 0.0]
+    )
+
+    # exact-state check vs a K=1 chain of the SAME compiled bodies (the
+    # independently-jitted steps fuse differently; Adam then amplifies
+    # sub-ulp gradient differences on near-zero disc-bias grads into
+    # +-lr sign flips, so cross-program bitwise parity is not a valid
+    # expectation — same-program parity is)
+    multi1 = make_gan_multi_step(
+        model, d_img, d_3d, 1, sample_frames=SAMPLE_FRAMES, donate=False
+    )
+    chain_state = state
+    for j in range(k):
+        chain_state, _ = multi1(
+            chain_state,
+            {n: batches[n][j: j + 1] for n in batches},
+            jnp.asarray(j % 2 == 0),
+            keys[j: j + 1],
+        )
+    for a, b in zip(
+        _flat((chain_state.gen.params, chain_state.d_img_params,
+               chain_state.d_3d_params)),
+        _flat((out_state.gen.params, out_state.d_img_params,
+               out_state.d_3d_params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
