@@ -2,8 +2,14 @@
 
 from faceoff_tpu.serve.streaming import (
     StreamingSwapper,
+    SwapSession,
     make_stream_steps,
     stream_video,
 )
 
-__all__ = ["StreamingSwapper", "make_stream_steps", "stream_video"]
+__all__ = [
+    "StreamingSwapper",
+    "SwapSession",
+    "make_stream_steps",
+    "stream_video",
+]

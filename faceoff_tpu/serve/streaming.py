@@ -81,7 +81,7 @@ def _postnet_stream(
     return tuple(new_bufs), h
 
 
-def make_stream_steps(model: VQVAE, variables):
+def make_stream_steps(model: VQVAE, variables, prepare_fn=None):
     """Build the jitted streaming primitives for a VQVAE.
 
     Returns (init_state, push_step, flush_step, delay):
@@ -91,6 +91,11 @@ def make_stream_steps(model: VQVAE, variables):
     where `out` is the decoded (B, H, W, out_ch) float32 slice for input
     time `state.s - delay` (garbage while that index is out of range —
     StreamingSwapper tracks validity on the host).
+
+    prepare_fn: optional `raw_pytree -> (B, H, W, in_ch) frame` input
+    pipeline; it traces INTO push_step so preprocessing (e.g. the
+    cross-identity swap geometry) and the model forward are one XLA
+    program per frame.
     """
     if model.temporal_kernel % 2 != 1:
         raise ValueError("streaming requires an odd temporal kernel")
@@ -138,6 +143,8 @@ def make_stream_steps(model: VQVAE, variables):
 
     @jax.jit
     def push_step(state, frame):
+        if prepare_fn is not None:
+            frame = prepare_fn(frame)
         enc_b, enc_t = model.apply(
             variables, frame[:, None], method=VQVAE.only_encode
         )
@@ -177,9 +184,10 @@ class StreamingSwapper:
         height: int,
         width: int,
         batch: int = 1,
+        prepare_fn=None,
     ):
         self._init_state, self._push, self._flush, self.delay = (
-            make_stream_steps(model, variables)
+            make_stream_steps(model, variables, prepare_fn)
         )
         self._shape = (batch, height, width)
         self.reset()
@@ -190,9 +198,12 @@ class StreamingSwapper:
         self._n_pushed = 0
 
     def push(self, frame) -> Optional[jnp.ndarray]:
-        """Feed one input frame; returns the decoded frame for input time
+        """Feed one input frame (or raw pytree when constructed with a
+        prepare_fn); returns the decoded frame for input time
         `n_pushed - delay` once the pipeline is warm, else None."""
-        self._state, out = self._push(self._state, jnp.asarray(frame))
+        self._state, out = self._push(
+            self._state, jax.tree_util.tree_map(jnp.asarray, frame)
+        )
         self._n_pushed += 1
         if self._n_pushed - 1 - self.delay >= 0:
             return out
@@ -208,6 +219,68 @@ class StreamingSwapper:
             if 0 <= t_out < self._n_pushed:
                 outs.append(out)
         return outs
+
+
+class SwapSession:
+    """Complete online face-swap serving: feed raw (frame, landmarks)
+    pairs for source and target, get swapped frames out.
+
+    Per pushed frame, ONE jitted device program runs the cross-identity
+    geometry (hull mask, Umeyama similarity on the 5 stable landmarks,
+    warp, composite — ops/swap.prepare_swap_batch, the math of reference
+    face_translation_videos3_utils.py:139-194) fused with the streaming
+    VQVAE forward. The reference can only do this offline over whole
+    preprocessed clips; this is the live-serving equivalent with a
+    3-frame delay and constant memory.
+
+    >>> sess = SwapSession(model, variables, height=256, width=256)
+    >>> out = sess.push(src_frame, src_lms, tgt_frame, tgt_lms)  # or None
+    >>> tail = sess.flush()
+
+    Frames are (H, W, 3) uint8/float RGB in [0, 255]; landmarks (68, 2)
+    pixel coords. Outputs are (H, W, 3) float32 in [-1, 1].
+    """
+
+    def __init__(self, model: VQVAE, variables, *, height: int, width: int):
+        from faceoff_tpu.ops.swap import prepare_swap_batch
+
+        if model.in_channels != 6:
+            raise ValueError("SwapSession needs the 6-channel model")
+
+        def prepare(raw):
+            streams = prepare_swap_batch(
+                raw["src"], raw["src_lms"], raw["tgt"], raw["tgt_lms"]
+            )
+            return streams["input"]
+
+        self._swapper = StreamingSwapper(
+            model, variables, height=height, width=width, batch=1,
+            prepare_fn=prepare,
+        )
+
+    @property
+    def delay(self) -> int:
+        return self._swapper.delay
+
+    def reset(self) -> None:
+        self._swapper.reset()
+
+    def push(
+        self, src_frame, src_landmarks, tgt_frame, tgt_landmarks
+    ) -> Optional[jnp.ndarray]:
+        raw = {
+            "src": jnp.asarray(src_frame)[None],
+            "src_lms": jnp.asarray(src_landmarks, jnp.float32)[None],
+            "tgt": jnp.asarray(tgt_frame)[None],
+            "tgt_lms": jnp.asarray(tgt_landmarks, jnp.float32)[None],
+        }
+        out = self._swapper.push(raw)
+        if out is None:
+            return None
+        return out[0, ..., :3]
+
+    def flush(self) -> List[jnp.ndarray]:
+        return [o[0, ..., :3] for o in self._swapper.flush()]
 
 
 def stream_video(model: VQVAE, variables, video: jnp.ndarray) -> jnp.ndarray:

@@ -104,3 +104,57 @@ def test_stream_rejects_even_kernel():
     video, variables = init_video(model, 1, 4, 32, seed=4)
     with pytest.raises(ValueError, match="odd temporal kernel"):
         StreamingSwapper(model, variables, height=32, width=32)
+
+
+def test_swap_session_matches_offline_pipeline():
+    """SwapSession (geometry fused into the per-frame program) produces
+    the same frames as the offline path: prepare_swap_batch over the
+    whole clip followed by the offline clip forward."""
+    from faceoff_tpu.data import synthetic
+    from faceoff_tpu.ops.swap import prepare_swap_batch
+    from faceoff_tpu.serve import SwapSession
+
+    model = tiny_model()
+    t, hw = 5, 32
+    rng = np.random.default_rng(7)
+    src_f, src_l, tgt_f, tgt_l = [], [], [], []
+    for i in range(t):
+        for frames, lms_list, color in (
+            (src_f, src_l, (205, 165, 135)),
+            (tgt_f, tgt_l, (150, 120, 200)),
+        ):
+            img = np.full((hw, hw, 3), 30, np.uint8)
+            lms = synthetic.face_landmarks(
+                (hw // 2 + (i % 3) - 1, hw // 2), hw // 4
+            )
+            synthetic.draw_face(img, lms, color)
+            frames.append(img)
+            lms_list.append(lms)
+    src_f, tgt_f = np.stack(src_f), np.stack(tgt_f)
+    src_l = np.stack(src_l).astype(np.float32)
+    tgt_l = np.stack(tgt_l).astype(np.float32)
+
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 2, hw, hw, 6)), train=False
+    )
+
+    streams = prepare_swap_batch(
+        jnp.asarray(src_f), jnp.asarray(src_l),
+        jnp.asarray(tgt_f), jnp.asarray(tgt_l),
+    )
+    offline, _ = model.apply(
+        variables, streams["input"][None], train=False
+    )
+
+    sess = SwapSession(model, variables, height=hw, width=hw)
+    outs = []
+    for i in range(t):
+        out = sess.push(src_f[i], src_l[i], tgt_f[i], tgt_l[i])
+        if out is not None:
+            outs.append(out)
+    outs.extend(sess.flush())
+    assert len(outs) == t
+    streamed = np.stack([np.asarray(o) for o in outs])
+    np.testing.assert_allclose(
+        streamed, np.asarray(offline[0, ..., :3]), atol=2e-4, rtol=1e-3
+    )
