@@ -281,10 +281,8 @@ def bench_gan(scan: int = 0):
 
         def one(i):
             nonlocal state
-            state, m = multi(
-                state, batches, jnp.asarray(i % 2 == 0), keys
-            )
-            return m["g_loss"]
+            state, m = multi(state, batches, keys)
+            return m["gen"]["g_loss"]
 
         steps_per_call = scan
     else:

@@ -164,6 +164,9 @@ def main(argv=None):
     if args.steps_per_call > 1 and args.gan != "mocoganhd":
         raise SystemExit("--steps_per_call currently supports "
                          "--gan mocoganhd only")
+    if args.steps_per_call > 1 and args.steps_per_call % 2 != 0:
+        raise SystemExit("--steps_per_call must be even "
+                         "(gen/disc pairs per dispatch)")
     if args.device_pipeline:
         if args.gan != "mocoganhd":
             raise SystemExit("--device_pipeline currently supports "
@@ -388,39 +391,43 @@ def main(argv=None):
                 if k in ("input", "gt", "frames", "landmarks")
             }
             if spc > 1:
+                if step_count % 2 == 1 and not acc:
+                    # align to the gen/disc pair boundary (odd resume):
+                    # one plain disc step, then scan pairs
+                    key = jax.random.key(args.seed * 100003 + step_count)
+                    state, m = run_step(
+                        state, shard_batch(batch, mesh), step_count, key
+                    )
+                    step_count += 1
+                    pending.append((step_count, epoch, m))
                 # K alternating gen/disc iterations per dispatch: stack K
                 # microbatches (clips still shard over 'data' on axis 1)
-                acc.append(batch)
-                if len(acc) < spc:
-                    continue
-                stacked = {
-                    k: np.stack([b[k] for b in acc]) for k in acc[0]
-                }
-                acc = []
-                sharded = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, stacked_sharding), stacked
-                )
-                keys = jnp.stack([
-                    jax.random.key(args.seed * 100003 + step_count + j)
-                    for j in range(spc)
-                ])
-                from faceoff_tpu.train.gan import (
-                    DISC_METRIC_KEYS,
-                    GEN_METRIC_KEYS,
-                )
-
-                state, seq_m = multi_step(
-                    state, sharded,
-                    jnp.asarray(step_count % 2 == 0), keys, lpips_vars,
-                )
-                for j in range(spc):
-                    kind = (
-                        GEN_METRIC_KEYS if step_count % 2 == 0
-                        else DISC_METRIC_KEYS
+                else:
+                    acc.append(batch)
+                    if len(acc) < spc:
+                        continue
+                    stacked = {
+                        k: np.stack([b[k] for b in acc]) for k in acc[0]
+                    }
+                    acc = []
+                    sharded = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, stacked_sharding),
+                        stacked,
                     )
-                    m_j = {k: seq_m[k][j] for k in kind}
-                    step_count += 1
-                    pending.append((step_count, epoch, m_j))
+                    keys = jnp.stack([
+                        jax.random.key(args.seed * 100003 + step_count + j)
+                        for j in range(spc)
+                    ])
+                    state, seq_m = multi_step(
+                        state, sharded, keys, lpips_vars
+                    )
+                    for j in range(spc):
+                        part = "gen" if j % 2 == 0 else "disc"
+                        m_j = {
+                            k: v[j // 2] for k, v in seq_m[part].items()
+                        }
+                        step_count += 1
+                        pending.append((step_count, epoch, m_j))
             else:
                 key = jax.random.key(args.seed * 100003 + step_count)
                 batch = shard_batch(batch, mesh)

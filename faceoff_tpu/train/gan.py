@@ -309,52 +309,49 @@ def make_gan_multi_step(
     latency exactly as train_step.make_multi_step does for the
     perceptual stage.
 
-    Returns multi_step(state, batches, first_is_gen, keys, lpips_vars)
-    -> (state, metrics) where every batch leaf and `keys` carry a leading
-    `steps_per_call` axis, `first_is_gen` is a traced bool giving the
-    parity of the first iteration, and metrics are stacked (K,)
-    device scalars over the union of gen/disc keys plus an `is_gen`
-    indicator (off-parity entries are zero)."""
+    The alternation is statically known, so the scan body is a
+    (gen, disc) PAIR over two microbatches — no `lax.cond` (a measured
+    1.7x per-step slowdown on TPU when the branches sat behind a
+    conditional). `steps_per_call` must therefore be even and dispatches
+    must start on a gen (even) step — the CLI aligns parity with a single
+    plain step when resuming from an odd step count.
+
+    Returns multi_step(state, batches, keys, lpips_vars) -> (state,
+    metrics) where every batch leaf and `keys` carry a leading
+    `steps_per_call` axis (microbatch i feeds iteration i: even -> gen,
+    odd -> disc) and metrics are {'gen': ..., 'disc': ...} with stacked
+    (steps_per_call//2,) device scalars."""
+    if steps_per_call % 2 != 0:
+        raise ValueError("steps_per_call must be even (gen/disc pairs)")
     gen_step, disc_step = make_gan_steps(
         model, d_img, d_3d, donate=False, **step_kwargs
     )
     gen_inner, disc_inner = gen_step.__wrapped__, disc_step.__wrapped__
-    all_keys = GEN_METRIC_KEYS + DISC_METRIC_KEYS
-
-    def pad(m):
-        return {
-            k: jnp.asarray(m.get(k, 0.0), jnp.float32) for k in all_keys
-        }
+    pairs = steps_per_call // 2
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi_step(
         state: GANTrainState,
         batches: Dict[str, jnp.ndarray],
-        first_is_gen: jnp.ndarray,
         keys: jax.Array,
         lpips_vars: Any = None,
     ):
-        def body(carry, xs):
-            st, is_gen = carry
-            batch, key = xs
+        # (K, ...) -> (K/2, 2, ...): pair microbatch axis
+        paired = jax.tree_util.tree_map(
+            lambda x: x.reshape((pairs, 2) + x.shape[1:]), batches
+        )
+        paired_keys = keys.reshape((pairs, 2) + keys.shape[1:])
 
-            def g(s):
-                s2, m = gen_inner(s, batch, key, lpips_vars)
-                return s2, pad(m)
+        def body(st, xs):
+            batch2, key2 = xs
+            b_gen = jax.tree_util.tree_map(lambda x: x[0], batch2)
+            b_disc = jax.tree_util.tree_map(lambda x: x[1], batch2)
+            st, gm = gen_inner(st, b_gen, key2[0], lpips_vars)
+            st, dm = disc_inner(st, b_disc, key2[1])
+            return st, {"gen": gm, "disc": dm}
 
-            def d(s):
-                s2, m = disc_inner(s, batch, key)
-                return s2, pad(m)
-
-            st2, m = jax.lax.cond(is_gen, g, d, st)
-            m["is_gen"] = is_gen.astype(jnp.float32)
-            return (st2, jnp.logical_not(is_gen)), m
-
-        (state_out, _), seq = jax.lax.scan(
-            body,
-            (state, jnp.asarray(first_is_gen, bool)),
-            (batches, keys),
-            length=steps_per_call,
+        state_out, seq = jax.lax.scan(
+            body, state, (paired, paired_keys), length=pairs
         )
         return state_out, seq
 

@@ -234,36 +234,30 @@ def test_gan_multi_step_matches_sequential(setup):
     multi = make_gan_multi_step(
         model, d_img, d_3d, k, sample_frames=SAMPLE_FRAMES, donate=False
     )
-    out_state, seq_metrics = multi(
-        state, batches, jnp.asarray(True), keys
-    )
+    out_state, seq_metrics = multi(state, batches, keys)
 
     got = [
-        float(seq_metrics["g_loss"][j]) if j % 2 == 0
-        else float(seq_metrics["d_3d_loss"][j])
+        float(seq_metrics["gen"]["g_loss"][j // 2]) if j % 2 == 0
+        else float(seq_metrics["disc"]["d_3d_loss"][j // 2])
         for j in range(k)
     ]
     # per-iteration losses match the independently-jitted gen/disc steps
     np.testing.assert_allclose(got, seq_losses, rtol=1e-5)
-    np.testing.assert_array_equal(
-        np.asarray(seq_metrics["is_gen"]), [1.0, 0.0, 1.0, 0.0]
-    )
 
-    # exact-state check vs a K=1 chain of the SAME compiled bodies (the
-    # independently-jitted steps fuse differently; Adam then amplifies
-    # sub-ulp gradient differences on near-zero disc-bias grads into
-    # +-lr sign flips, so cross-program bitwise parity is not a valid
-    # expectation — same-program parity is)
-    multi1 = make_gan_multi_step(
-        model, d_img, d_3d, 1, sample_frames=SAMPLE_FRAMES, donate=False
+    # exact-state check vs a pair-at-a-time chain of the SAME compiled
+    # bodies (the independently-jitted steps fuse differently; Adam then
+    # amplifies sub-ulp gradient differences on near-zero disc-bias grads
+    # into +-lr sign flips, so cross-program bitwise parity is not a
+    # valid expectation — same-program parity is)
+    multi2 = make_gan_multi_step(
+        model, d_img, d_3d, 2, sample_frames=SAMPLE_FRAMES, donate=False
     )
     chain_state = state
-    for j in range(k):
-        chain_state, _ = multi1(
+    for j in range(0, k, 2):
+        chain_state, _ = multi2(
             chain_state,
-            {n: batches[n][j: j + 1] for n in batches},
-            jnp.asarray(j % 2 == 0),
-            keys[j: j + 1],
+            {n: batches[n][j: j + 2] for n in batches},
+            keys[j: j + 2],
         )
     for a, b in zip(
         _flat((chain_state.gen.params, chain_state.d_img_params,
@@ -272,3 +266,8 @@ def test_gan_multi_step_matches_sequential(setup):
                out_state.d_3d_params)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="even"):
+        make_gan_multi_step(
+            model, d_img, d_3d, 3, sample_frames=SAMPLE_FRAMES
+        )
