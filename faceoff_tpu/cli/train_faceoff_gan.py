@@ -107,9 +107,12 @@ def build_parser():
                         "(mocoganhd recipe only)")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="K alternating gen/disc iterations per dispatch "
-                        "via lax.scan (mocoganhd only) — amortizes "
-                        "per-step launch latency; validation/log cadences "
-                        "quantize to dispatch boundaries")
+                        "via lax.scan (mocoganhd only; even K). Use ONLY "
+                        "on dispatch-latency-bound hosts (tunneled/remote "
+                        "accelerators): it amortizes launch latency but "
+                        "costs ~40%% device throughput (BENCHMARKS.md); "
+                        "validation/log cadences quantize to dispatch "
+                        "boundaries")
     # model-size overrides (tiny configs for smoke tests)
     p.add_argument("--channel", type=int, default=128)
     p.add_argument("--n_res_block", type=int, default=2)
