@@ -289,10 +289,6 @@ def make_gan_steps(
     return gen_step, disc_step
 
 
-GEN_METRIC_KEYS = ("g_loss", "mse", "latent", "g_2d", "g_3d", "perceptual")
-DISC_METRIC_KEYS = ("d_3d_loss", "d_img_loss")
-
-
 def make_gan_multi_step(
     model,
     d_img,
