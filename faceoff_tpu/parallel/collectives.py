@@ -39,9 +39,20 @@ def initialize_distributed(**kwargs) -> None:
 
     Mirrors the role of dist.launch + init_process_group (reference
     distributed/launch.py:52-92) for multi-host TPU pods.
+
+    MUST run before anything touches the XLA backend — even
+    `jax.process_count()` initializes it, which is why this does NOT
+    probe the process count first (doing so silently broke real
+    multi-process init; caught by tests/test_multiprocess.py). With no
+    kwargs it relies on jax's cluster auto-detection (TPU pod metadata /
+    coordinator env vars) and degrades to a no-op on a single host.
     """
-    if jax.process_count() > 1 or kwargs:
+    try:
         jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        if kwargs:
+            raise  # explicit coordinator config must not fail silently
+        print(f"single-process run (distributed init skipped: {e})")
 
 
 def get_world_size() -> int:

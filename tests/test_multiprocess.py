@@ -1,0 +1,137 @@
+"""REAL multi-process distributed runtime test: two OS processes, each
+owning one CPU device, joined through `collectives.initialize_distributed`
+(jax.distributed + Gloo) into one global 2-device mesh — the actual
+cross-process regime of the reference's multi-machine NCCL launcher
+(reference distributed/launch.py:22-92), not a simulated shard index.
+
+Each process feeds its own per-process batch shard
+(jax.make_array_from_process_local_data, the DistributedSampler role of
+reference distributed/distributed.py:135-143) into ONE jitted train step;
+XLA inserts the cross-process gradient/codebook collectives. Both
+processes must agree on the (global) loss, and a cross-process psum must
+see both contributions."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r'''
+import os, sys
+import numpy as np
+
+from faceoff_tpu.parallel import collectives
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+collectives.initialize_distributed(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+assert collectives.get_world_size() == 2
+assert collectives.get_rank() == pid
+assert jax.device_count() == 2 and jax.local_device_count() == 1
+assert collectives.is_primary() == (pid == 0)
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+
+# cross-process collective: psum of (rank+1) over the mesh == 3
+marker = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")),
+    np.full((1, 1), pid + 1, np.float32),
+    (2, 1),
+)
+total = jax.jit(
+    lambda x: x.sum(), out_shardings=NamedSharding(mesh, P())
+)(marker)
+print("PSUM", float(total.addressable_data(0)), flush=True)
+
+# one sharded train step: per-process local batch shard -> global array
+from faceoff_tpu.models import VQVAE
+from faceoff_tpu.train import create_train_state, make_train_step
+
+model = VQVAE(
+    in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+    embed_dim=8, n_embed=32, dtype=jnp.float32, use_pallas=False,
+)
+rng = np.random.default_rng(0)  # same seed: deterministic global batch
+g_input = rng.uniform(-1, 1, (2, 2, 32, 32, 6)).astype(np.float32)
+g_gt = rng.uniform(-1, 1, (2, 2, 32, 32, 3)).astype(np.float32)
+sharding = NamedSharding(mesh, P("data"))
+batch = {
+    "input": jax.make_array_from_process_local_data(
+        sharding, g_input[pid: pid + 1], g_input.shape
+    ),
+    "gt": jax.make_array_from_process_local_data(
+        sharding, g_gt[pid: pid + 1], g_gt.shape
+    ),
+}
+state = create_train_state(
+    model, jax.random.key(0), jnp.zeros((1, 2, 32, 32, 6)), lr=1e-3
+)
+repl = NamedSharding(mesh, P())
+state = jax.tree_util.tree_map(
+    lambda x: jax.device_put(x, repl) if isinstance(x, jax.Array) else x,
+    state,
+)
+step = make_train_step(model, donate=False)
+state, metrics = step(state, batch)
+loss = jax.jit(lambda x: x + 0, out_shardings=repl)(metrics["loss"])
+print("LOSS", float(loss.addressable_data(0)), flush=True)
+'''
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    # one device per process: the flag from conftest would give 8 each
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=500)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
+
+    def grab(tag, out):
+        lines = [l for l in out.splitlines() if l.startswith(tag)]
+        assert lines, f"no {tag} in output"
+        return float(lines[-1].split()[1])
+
+    # the psum saw BOTH processes' contributions
+    assert grab("PSUM", outs[0]) == 3.0
+    assert grab("PSUM", outs[1]) == 3.0
+    # both processes computed the SAME global loss through one program
+    l0, l1 = grab("LOSS", outs[0]), grab("LOSS", outs[1])
+    assert np.isfinite(l0)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
