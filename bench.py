@@ -324,11 +324,13 @@ def bench_gan(scan: int = 0):
     )
 
 
-def bench_stream():
+def bench_stream(batch: int = 1):
     """Online serving latency: frame-at-a-time swap inference through the
     streaming path (faceoff_tpu.serve.streaming) on the flagship model at
-    256px — the latency-critical deployment mode (batch=1, one device
-    program per frame, 3-frame pipeline delay)."""
+    256px — the latency-critical deployment mode (one device program per
+    frame, 3-frame pipeline delay). batch > 1 = that many CONCURRENT
+    independent streams per program (multi-tenant serving): latency is
+    per frame-step, aggregate throughput is batch/latency."""
     from faceoff_tpu.models import VQVAE
     from faceoff_tpu.serve import StreamingSwapper
 
@@ -341,9 +343,11 @@ def bench_stream():
     variables = model.init(
         jax.random.key(0), jnp.zeros((1, 4, HW, HW, 6)), train=False
     )
-    sw = StreamingSwapper(model, variables, height=HW, width=HW)
+    sw = StreamingSwapper(
+        model, variables, height=HW, width=HW, batch=batch
+    )
     frame = jax.random.uniform(
-        jax.random.key(1), (1, HW, HW, 6), minval=-1, maxval=1
+        jax.random.key(1), (batch, HW, HW, 6), minval=-1, maxval=1
     )
 
     import numpy as np
@@ -360,11 +364,12 @@ def bench_stream():
         lat.append(time.perf_counter() - t0)
     ms = sorted(x * 1e3 for x in lat)
     p50 = ms[len(ms) // 2]
-    fps = 1e3 / p50
+    fps = batch * 1e3 / p50
     print(
         json.dumps(
             {
-                "metric": "stream_swap_latency_ms_per_frame_256px",
+                "metric": f"stream_swap_latency_ms_per_frame_256px_b{batch}"
+                if batch > 1 else "stream_swap_latency_ms_per_frame_256px",
                 "value": round(p50, 2),
                 "unit": "ms/frame (p50)",
                 "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
@@ -458,7 +463,7 @@ if __name__ == "__main__":
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":
-        bench_stream()
+        bench_stream(batch=cli.batch)
     elif mode == "infer":
         bench_infer(batch=cli.batch)
     elif mode == "gan":
