@@ -177,8 +177,12 @@ class TemporalAlignmentDataset:
         min_landmark_files: int = 3,
         use_bb_mask: bool = False,
         exclude_list: Optional[str] = None,
+        alignment: bool = False,
     ):
         self.mode = mode
+        # alignment-regression items (reference dataset.py:377-397):
+        # get_item also returns the negated GT transforms to regress
+        self.alignment = alignment
         self.max_len = max_frame_len
         self.resolution = resolution
         self.cross_identity = cross_identity
@@ -360,6 +364,8 @@ class TemporalAlignmentDataset:
         return self.get_item(index, rng or np.random.default_rng(index))
 
     def get_item(self, index: int, rng: np.random.Generator):
+        if self.alignment:
+            return self.get_item_alignment(index, rng)
         if self.cross_identity or self.source_videos is not None:
             return self.get_item_cross_identity(index, rng)
         return self.get_item_jitter(index, rng)

@@ -131,6 +131,26 @@ class TestGANCLI:
         assert glob(str(tmp_path / "c" / "disc") + "/*")
 
 
+class TestAlignmentCLI:
+    def test_train_smoke(self, synth_root, tmp_path):
+        """The alignment-regression trainer runs end-to-end: dataset
+        alignment mode -> AlignmentNet -> MSE step -> metrics +
+        checkpoint."""
+        from faceoff_tpu.cli.train_alignment import main
+
+        main([
+            "--data_root", synth_root, "--size", "64", "--frames", "2",
+            "--steps", "2", "--log_every", "1", "--num_workers", "1",
+            "--widths", "8", "16",
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--metrics_path", str(tmp_path / "m.jsonl"),
+        ])
+        lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+        assert lines and np.isfinite(lines[-1]["loss"])
+        assert np.isfinite(lines[-1]["mae_rotation"])
+        assert glob(str(tmp_path / "c") + "/*")
+
+
 class TestSwapCLI:
     def test_streaming_matches_chunked(self, synth_root, tmp_path):
         """The swap CLI's online (--streaming) and chunked paths produce
