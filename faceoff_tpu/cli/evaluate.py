@@ -39,6 +39,12 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=16)
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--crossid", action="store_true",
+                   help="cross-identity evaluation: swapped clips have no "
+                        "pixel ground truth (the reference can only eyeball "
+                        "them), so report Fréchet feature distances between "
+                        "the swapped outputs and the real target clips "
+                        "(fd_vgg appearance + fd_vgg_motion temporal)")
     common.add_model_flags(p)
     args = p.parse_args(argv)
 
@@ -69,13 +75,15 @@ def main(argv=None):
         )
 
     ds = TemporalAlignmentDataset(
-        args.data_root, "val", args.frames, resolution=args.size
+        args.data_root, "val", args.frames, resolution=args.size,
+        cross_identity=args.crossid,
     )
     loader = DataLoader(
         ds, batch_clips=1, shuffle=False, num_workers=args.num_workers
     )
 
     reports = []
+    preds, reals = [], []
     for i, batch in enumerate(loader):
         if i >= args.max_batches:
             break
@@ -86,6 +94,10 @@ def main(argv=None):
                 "gt": jnp.asarray(batch["gt"]),
             },
         )
+        if args.crossid:
+            preds.append(np.asarray(out))
+            reals.append(np.asarray(batch["gt"]))
+            continue
         rep = evaluate_reconstruction(
             out, jnp.asarray(batch["gt"]),
             lpips_apply=lpips_apply, lpips_vars=lpips_vars,
@@ -95,11 +107,25 @@ def main(argv=None):
             rep["lpips_random_vgg"] = rep.pop("lpips")
         reports.append(rep)
 
-    summary = {
-        k: round(float(np.mean([r[k] for r in reports])), 5)
-        for k in reports[0]
-    }
-    summary["n_clips"] = len(reports)
+    if args.crossid:
+        from faceoff_tpu.evaluation import make_fd_video
+
+        fd = make_fd_video(lpips_vars)
+        vals = fd(
+            jnp.asarray(np.concatenate(reals)),
+            jnp.asarray(np.concatenate(preds)),
+        )
+        summary = {k: round(float(v), 5) for k, v in vals.items()}
+        if args.lpips_weights is None:
+            # random-VGG extractor: relative tracking only
+            summary = {f"{k}_random_vgg": v for k, v in summary.items()}
+        summary["n_clips"] = len(preds)
+    else:
+        summary = {
+            k: round(float(np.mean([r[k] for r in reports])), 5)
+            for k in reports[0]
+        }
+        summary["n_clips"] = len(reports)
     summary["checkpoint_step"] = int(state.step)
     print(json.dumps(summary))
 

@@ -195,6 +195,49 @@ class TestSwapCLI:
         assert np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))) < 2.0
 
 
+class TestEvaluateCLI:
+    def test_selfsupervised_and_crossid(self, synth_root, tmp_path, capsys):
+        """evaluate: reconstruction metrics on the self-supervised val
+        items; Fréchet distances (appearance + motion) in --crossid mode
+        where swapped clips have no pixel ground truth."""
+        import jax
+        import jax.numpy as jnp
+
+        from faceoff_tpu.cli.evaluate import main as eval_main
+        from faceoff_tpu.io.checkpoint import CheckpointManager
+        from faceoff_tpu.models import VQVAE
+        from faceoff_tpu.train import create_train_state
+
+        model = VQVAE(
+            in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+            embed_dim=8, n_embed=32, dtype=jnp.float32, use_pallas=False,
+        )
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 2, 64, 64, 6))
+        )
+        mgr = CheckpointManager(str(tmp_path / "c"))
+        mgr.save(0, state)
+        mgr.close()
+
+        base = [
+            "--data_root", synth_root,
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--size", "64", "--frames", "2", "--max_batches", "2",
+            "--num_workers", "1", *TINY_MODEL_FLAGS,
+        ]
+        eval_main(base)
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rep = json.loads(out)
+        assert np.isfinite(rep["mse"]) and np.isfinite(rep["psnr"])
+        assert "lpips_random_vgg" in rep  # honest key without real weights
+
+        eval_main(base + ["--crossid"])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rep = json.loads(out)
+        assert np.isfinite(rep["fd_vgg_random_vgg"])
+        assert np.isfinite(rep["fd_vgg_motion_random_vgg"])
+
+
 class TestPreprocessCLI:
     def test_all_stages(self, tmp_path):
         from faceoff_tpu.cli.preprocess import main
