@@ -121,6 +121,12 @@ def build_parser():
     p.add_argument("--n_embed", type=int, default=512)
     p.add_argument("--ndf", type=int, default=64,
                    help="discriminator base width")
+    p.add_argument("--adversarial_start", type=int, default=0,
+                   help="mocoganhd: discriminator warmup — zero the "
+                        "generator's adversarial terms for this many steps "
+                        "of THIS run (taming-style adopt_weight gating; "
+                        "fresh discriminators at full weight otherwise "
+                        "wreck a warm-started generator's reconstruction)")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host run: jax.distributed.initialize() + "
                         "per-process train-loader sharding")
@@ -260,7 +266,9 @@ def main(argv=None):
             # alternate gen/disc (reference :187-190); metrics stay device
             # scalars — float() reads are deferred to the log cadence
             if step_count % 2 == 0:
-                return gen_step(state, batch, key, lpips_vars)
+                adv = 1.0 if (step_count - step0) >= args.adversarial_start \
+                    else 0.0
+                return gen_step(state, batch, key, lpips_vars, adv)
             return disc_step(state, batch, key)
 
     elif args.gan == "mocogan":
@@ -421,8 +429,13 @@ def main(argv=None):
                         jax.random.key(args.seed * 100003 + step_count + j)
                         for j in range(spc)
                     ])
+                    adv = (
+                        1.0
+                        if (step_count - step0) >= args.adversarial_start
+                        else 0.0
+                    )
                     state, seq_m = multi_step(
-                        state, sharded, keys, lpips_vars
+                        state, sharded, keys, lpips_vars, adv
                     )
                     for j in range(spc):
                         part = "gen" if j % 2 == 0 else "disc"

@@ -156,8 +156,13 @@ def make_gan_steps(
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def gen_step(
         state: GANTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array,
-        lpips_vars: Any = None,
+        lpips_vars: Any = None, adv_scale: jnp.ndarray = 1.0,
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """adv_scale: traced multiplier on the adversarial terms —
+        0.0 during a discriminator warmup (taming-style adopt_weight
+        gating, which the reference's mocoganhd trainers lack: fresh
+        discriminators at full weight overwhelm a warm-started
+        generator's reconstruction within a few hundred steps)."""
         batch = maybe_prepare(batch, key)
         t = batch["gt"].shape[1]
         start, frame_id, flip = rand_bits(key, t)
@@ -208,8 +213,8 @@ def make_gan_steps(
                 recon
                 + latent_loss_weight * latent
                 + perceptual_loss_weight * perceptual
-                + g_2d_weight * g_2d
-                + g_3d_weight * g_3d
+                + adv_scale * g_2d_weight * g_2d
+                + adv_scale * g_3d_weight * g_3d
             )
             metrics = {
                 "g_loss": loss,
@@ -331,6 +336,7 @@ def make_gan_multi_step(
         batches: Dict[str, jnp.ndarray],
         keys: jax.Array,
         lpips_vars: Any = None,
+        adv_scale: jnp.ndarray = 1.0,
     ):
         # (K, ...) -> (K/2, 2, ...): pair microbatch axis
         paired = jax.tree_util.tree_map(
@@ -342,7 +348,7 @@ def make_gan_multi_step(
             batch2, key2 = xs
             b_gen = jax.tree_util.tree_map(lambda x: x[0], batch2)
             b_disc = jax.tree_util.tree_map(lambda x: x[1], batch2)
-            st, gm = gen_inner(st, b_gen, key2[0], lpips_vars)
+            st, gm = gen_inner(st, b_gen, key2[0], lpips_vars, adv_scale)
             st, dm = disc_inner(st, b_disc, key2[1])
             return st, {"gen": gm, "disc": dm}
 

@@ -271,3 +271,32 @@ def test_gan_multi_step_matches_sequential(setup):
         make_gan_multi_step(
             model, d_img, d_3d, 3, sample_frames=SAMPLE_FRAMES
         )
+
+
+def test_adv_scale_gates_adversarial_terms(setup):
+    """adv_scale=0 (discriminator warmup) makes the gen step a pure
+    reconstruction step: g_2d/g_3d still reported but not in the loss,
+    and the update matches a recon-only objective direction (loss ==
+    recon + latent)."""
+    state, batch, gen_step, disc_step = setup
+    key = jax.random.key(42)
+    _, m_on = gen_step(state, batch, key, None, 1.0)
+    _, m_off = gen_step(state, batch, key, None, 0.0)
+    # same forward -> same recon/latent/adversarial raw values
+    np.testing.assert_allclose(
+        float(m_on["mse"]), float(m_off["mse"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_on["g_2d"]), float(m_off["g_2d"]), rtol=1e-6
+    )
+    # gated loss excludes the adversarial terms
+    np.testing.assert_allclose(
+        float(m_off["g_loss"]),
+        float(m_off["mse"]) + float(m_off["latent"]),
+        rtol=1e-5,
+    )
+    assert abs(
+        float(m_on["g_loss"])
+        - (float(m_on["mse"]) + float(m_on["latent"])
+           + 0.25 * float(m_on["g_2d"]) + 0.25 * float(m_on["g_3d"]))
+    ) < 1e-5
