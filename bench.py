@@ -450,7 +450,11 @@ if __name__ == "__main__":
              "multi: K steps per dispatch via lax.scan; "
              "e2e: incl. input pipeline with on-device geometry; "
              "e2e_host: incl. input pipeline with host cv2 geometry; "
-             "stream: online frame-at-a-time serving latency",
+             "stream: online frame-at-a-time serving latency "
+             "(--batch N = N concurrent streams); "
+             "infer: offline eval-forward serving throughput; "
+             "gan: adversarial-stage throughput (--scan K for the "
+             "pair-scan path)",
     )
     ap.add_argument("--batch", type=int, default=1,
                     help="clips per step for the e2e modes")

@@ -25,9 +25,9 @@ import os.path as osp
 import jax
 import jax.numpy as jnp
 
+from faceoff_tpu.cli import common
 from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader
-from faceoff_tpu.models import VQVAE
 from faceoff_tpu.models.discriminators import (
     MultiscaleDiscriminator2D,
     MultiscaleDiscriminator3D,
@@ -101,7 +101,9 @@ def build_parser():
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=None,
-                   help="optional hard cap on total steps (smoke runs)")
+                   help="optional cap on total steps (smoke runs); with "
+                        "--steps_per_call it rounds up to the next "
+                        "dispatch boundary")
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(mocoganhd recipe only)")
@@ -113,12 +115,7 @@ def build_parser():
                         "costs ~40%% device throughput (BENCHMARKS.md); "
                         "validation/log cadences quantize to dispatch "
                         "boundaries")
-    # model-size overrides (tiny configs for smoke tests)
-    p.add_argument("--channel", type=int, default=128)
-    p.add_argument("--n_res_block", type=int, default=2)
-    p.add_argument("--n_res_channel", type=int, default=32)
-    p.add_argument("--embed_dim", type=int, default=64)
-    p.add_argument("--n_embed", type=int, default=512)
+    common.add_model_flags(p)
     p.add_argument("--ndf", type=int, default=64,
                    help="discriminator base width")
     p.add_argument("--adversarial_start", type=int, default=0,
@@ -136,10 +133,15 @@ def build_parser():
 def main(argv=None):
     from faceoff_tpu.parallel.collectives import enable_compilation_cache
 
-    enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    # distributed init MUST precede anything that touches the XLA backend
+    # — including enable_compilation_cache's jax.default_backend() probe
+    # (otherwise jax.distributed.initialize raises and --multihost would
+    # silently degrade to per-host single-process training)
     if args.multihost:
         collectives.initialize_distributed()
+    enable_compilation_cache()
+    if args.multihost:
         print(
             f"multihost: process {collectives.get_rank()} of "
             f"{collectives.get_world_size()}", flush=True,
@@ -154,17 +156,7 @@ def main(argv=None):
     mesh = make_mesh()
     n_dev = mesh.devices.size
 
-    on_tpu = jax.default_backend() == "tpu"
-    model = VQVAE(
-        in_channels=6,
-        channel=args.channel,
-        n_res_block=args.n_res_block,
-        n_res_channel=args.n_res_channel,
-        embed_dim=args.embed_dim,
-        n_embed=args.n_embed,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas=on_tpu,
-    )
+    model = common.build_vqvae(args)
 
     ds = TemporalAlignmentDataset(
         args.data_root, "train", args.train_frames, resolution=args.size
@@ -476,6 +468,12 @@ def main(argv=None):
         if done:
             break
 
+    if acc:
+        print(
+            f"note: {len(acc)} accumulated microbatch(es) below the "
+            f"--steps_per_call={spc} dispatch size were not trained",
+            flush=True,
+        )
     pending.clear()
     save_all(max(step_count, 1))
     if metrics_writer is not None:

@@ -251,10 +251,15 @@ def build_everything(args):
 def main(argv=None):
     from faceoff_tpu.parallel.collectives import enable_compilation_cache
 
-    enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    # distributed init MUST precede anything that touches the XLA backend
+    # — including enable_compilation_cache's jax.default_backend() probe
+    # (otherwise jax.distributed.initialize raises and --multihost would
+    # silently degrade to per-host single-process training)
     if args.multihost:
         collectives.initialize_distributed()
+    enable_compilation_cache()
+    if args.multihost:
         print(
             f"multihost: process {collectives.get_rank()} of "
             f"{collectives.get_world_size()}", flush=True,

@@ -333,10 +333,16 @@ class TemporalAlignmentDataset:
         else:
             s0 = int(rng.integers(0, max(5, len(src_paths) - self.max_len - 1) + 1))
             t0 = int(rng.integers(0, max(5, len(tgt_paths) - self.max_len - 1) + 1))
-        src_w = src_paths[s0: s0 + self.max_len]
-        tgt_w = tgt_paths[t0: t0 + self.max_len]
-        n = min(len(src_w), len(tgt_w))
-        src_w, tgt_w = src_w[:n], tgt_w[:n]
+        # clamp + pad to the static clip length (same policy as
+        # _sample_window: the reference tolerates ragged clips, XLA does
+        # not — short/overrun windows repeat their last frame)
+        s0 = min(s0, max(0, len(src_paths) - self.max_len))
+        t0 = min(t0, max(0, len(tgt_paths) - self.max_len))
+        src_w = list(src_paths[s0: s0 + self.max_len])
+        tgt_w = list(tgt_paths[t0: t0 + self.max_len])
+        for w in (src_w, tgt_w):
+            while w and len(w) < self.max_len:
+                w.append(w[-1])
 
         sources, target_bgs, targets, src_imgs = [], [], [], []
         for sp, tp in zip(src_w, tgt_w):

@@ -135,15 +135,12 @@ def make_fd_video(lpips_vars) -> Callable:
     def fd(real: jnp.ndarray, fake: jnp.ndarray):
         fr = vgg_features(lpips_vars, real.reshape((-1,) + real.shape[2:]))
         ff = vgg_features(lpips_vars, fake.reshape((-1,) + fake.shape[2:]))
-        mr = motion_features(lpips_vars, real)
-        mf = motion_features(lpips_vars, fake)
-        mu_fr, cov_fr = feature_stats(fr)
-        mu_ff, cov_ff = feature_stats(ff)
-        mu_mr, cov_mr = feature_stats(mr)
-        mu_mf, cov_mf = feature_stats(mf)
         return {
-            "fd_vgg": frechet_distance(mu_fr, cov_fr, mu_ff, cov_ff),
-            "fd_vgg_motion": frechet_distance(mu_mr, cov_mr, mu_mf, cov_mf),
+            "fd_vgg": fid(fr, ff),
+            "fd_vgg_motion": fid(
+                motion_features(lpips_vars, real),
+                motion_features(lpips_vars, fake),
+            ),
         }
 
     return fd

@@ -50,8 +50,10 @@ def initialize_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        if kwargs:
-            raise  # explicit coordinator config must not fail silently
+        if kwargs or "must be called before" in str(e):
+            # explicit coordinator config — or a caller that touched the
+            # backend first (an ordering bug) — must not fail silently
+            raise
         print(f"single-process run (distributed init skipped: {e})")
 
 

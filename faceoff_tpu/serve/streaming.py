@@ -196,11 +196,19 @@ class StreamingSwapper:
         b, h, w = self._shape
         self._state = self._init_state(b, h, w)
         self._n_pushed = 0
+        self._flushed = False
 
     def push(self, frame) -> Optional[jnp.ndarray]:
         """Feed one input frame (or raw pytree when constructed with a
         prepare_fn); returns the decoded frame for input time
         `n_pushed - delay` once the pipeline is warm, else None."""
+        if self._flushed:
+            raise RuntimeError(
+                "stream already flushed — call reset() before starting a "
+                "new stream (the ring buffers hold the previous stream's "
+                "zero-padded tail and would corrupt the next clip's "
+                "first frames)"
+            )
         self._state, out = self._push(
             self._state, jax.tree_util.tree_map(jnp.asarray, frame)
         )
@@ -210,7 +218,11 @@ class StreamingSwapper:
         return None
 
     def flush(self) -> List[jnp.ndarray]:
-        """End the stream: emit the final frames held in the pipeline."""
+        """End the stream: emit the final frames held in the pipeline.
+        The stream is finished afterwards — reset() starts the next one."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed — call reset()")
+        self._flushed = True
         total = jnp.int32(self._n_pushed)
         outs = []
         for j in range(self.delay):

@@ -235,3 +235,21 @@ class TestAlignedImage:
         ys, xs = np.nonzero(m)
         cx, cy = xs.mean(), ys.mean()
         assert abs(cx - tgt_center[0]) < 25
+
+
+def test_crossid_short_videos_static_shape(tmp_path):
+    """Cross-identity items clamp the random start and pad short windows
+    to the static clip length (the reference tolerates ragged clips,
+    dataset.py:341-354; XLA cannot) — regression for evaluate --crossid
+    crashing on videos shorter than frames+6."""
+    from faceoff_tpu.data import synthetic
+    from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+
+    synthetic.generate_dataset(str(tmp_path), n_videos=2, n_frames=4, size=64)
+    ds = TemporalAlignmentDataset(
+        str(tmp_path), "val", 8, resolution=64, cross_identity=True
+    )
+    for seed in range(4):
+        item = ds.get_item(0, np.random.default_rng(seed))
+        assert item["gt"].shape == (8, 64, 64, 3)
+        assert item["source"].shape == (8, 64, 64, 3)

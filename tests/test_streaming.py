@@ -158,3 +158,21 @@ def test_swap_session_matches_offline_pipeline():
     np.testing.assert_allclose(
         streamed, np.asarray(offline[0, ..., :3]), atol=2e-4, rtol=1e-3
     )
+
+
+def test_push_after_flush_raises():
+    """A flushed stream's ring buffers hold the previous clip's
+    zero-padded tail; pushing without reset() must fail loudly instead of
+    silently corrupting the next clip's first frames."""
+    model = tiny_model()
+    video, variables = init_video(model, 1, 4, 32, seed=8)
+    sw = StreamingSwapper(model, variables, height=32, width=32)
+    for i in range(4):
+        sw.push(video[:, i])
+    sw.flush()
+    with pytest.raises(RuntimeError, match="reset"):
+        sw.push(video[:, 0])
+    with pytest.raises(RuntimeError, match="reset"):
+        sw.flush()
+    sw.reset()
+    assert sw.push(video[:, 0]) is None  # fresh stream accepts frames
