@@ -28,6 +28,33 @@ def add_model_flags(p) -> None:
                    help="use the pure-XLA VQ path even on TPU")
 
 
+def add_multihost_flags(p) -> None:
+    """Explicit process-coordination flags for clusters without
+    autodetectable metadata — the role of the reference launcher's
+    dist_url / n_machine / machine_rank CLI surface
+    (reference distributed/launch.py:22-23, train_faceoff_perceptual.py:
+    220-222). Omit them on TPU pods/SLURM where jax autodetects."""
+    g = p.add_argument_group("multi-host coordination (with --multihost)")
+    g.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (reference dist_url)")
+    g.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (reference n_machine role)")
+    g.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank (reference machine_rank)")
+
+
+def multihost_kwargs(args) -> dict:
+    """kwargs for collectives.initialize_distributed from the flags
+    (empty -> jax cluster autodetection)."""
+    if getattr(args, "coordinator_address", None):
+        return dict(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+    return {}
+
+
 def build_vqvae(args, in_channels: int = 6) -> VQVAE:
     on_tpu = jax.default_backend() == "tpu"
     return VQVAE(

@@ -37,7 +37,13 @@ from faceoff_tpu.models.discriminators import (
 )
 from faceoff_tpu.models.lpips import init_lpips
 from faceoff_tpu.io.checkpoint import CheckpointManager
-from faceoff_tpu.parallel import collectives, is_primary, make_mesh, shard_batch
+from faceoff_tpu.parallel import (
+    collectives,
+    is_primary,
+    make_mesh,
+    shard_batch,
+    stage_global,
+)
 from faceoff_tpu.train import create_train_state
 from faceoff_tpu.train.state import make_optimizer
 
@@ -127,6 +133,7 @@ def build_parser():
     p.add_argument("--multihost", action="store_true",
                    help="multi-host run: jax.distributed.initialize() + "
                         "per-process train-loader sharding")
+    common.add_multihost_flags(p)
     return p
 
 
@@ -139,7 +146,7 @@ def main(argv=None):
     # (otherwise jax.distributed.initialize raises and --multihost would
     # silently degrade to per-host single-process training)
     if args.multihost:
-        collectives.initialize_distributed()
+        collectives.initialize_distributed(**common.multihost_kwargs(args))
     enable_compilation_cache()
     if args.multihost:
         print(
@@ -155,6 +162,11 @@ def main(argv=None):
     # each step carries batch_size clips per device
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    # per-process share of the global batch (dataset AND batch shard per
+    # process in multihost runs)
+    world = collectives.get_world_size()
+    local_clips = max(1, args.batch_size * n_dev // world)
+    local_val_clips = max(1, n_dev // world)
 
     model = common.build_vqvae(args)
 
@@ -178,7 +190,7 @@ def main(argv=None):
         )
 
         loader = RawClipLoader(
-            ds, batch_clips=args.batch_size * n_dev,
+            ds, batch_clips=local_clips,
             num_workers=args.num_workers, seed=args.seed,
             shard_index=collectives.get_rank(),
             shard_count=collectives.get_world_size(),
@@ -186,7 +198,7 @@ def main(argv=None):
         prepare_fn = prepare_train_batch
     else:
         loader = DataLoader(
-            ds, batch_clips=args.batch_size * n_dev,
+            ds, batch_clips=local_clips,
             num_workers=args.num_workers, seed=args.seed,
             shard_index=collectives.get_rank(),
             shard_count=collectives.get_world_size(),
@@ -336,7 +348,7 @@ def main(argv=None):
         args.data_root, "val", args.val_frames, resolution=args.size
     )
     val_loader = DataLoader(
-        val_ds, batch_clips=n_dev, shuffle=False, num_workers=2,
+        val_ds, batch_clips=local_val_clips, shuffle=False, num_workers=2,
         seed=args.seed,
     )
     metrics_writer = (
@@ -414,7 +426,7 @@ def main(argv=None):
                     }
                     acc = []
                     sharded = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, stacked_sharding),
+                        lambda x: stage_global(x, stacked_sharding),
                         stacked,
                     )
                     keys = jnp.stack([

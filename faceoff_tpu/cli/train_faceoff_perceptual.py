@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from faceoff_tpu import config as config_lib
+from faceoff_tpu.cli import common
 from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader
 from faceoff_tpu.models import VQVAE
@@ -88,6 +89,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(replaces the reference's mp.spawn + NCCL "
                         "rendezvous + DistributedSampler, "
                         "distributed/launch.py:22-92, distributed.py:135-143)")
+    common.add_multihost_flags(p)
     p.add_argument("--commitment_beta", type=float, default=1.0,
                    help="scales the VQ commitment (latent) term")
     p.add_argument("--revive_every", type=int, default=0,
@@ -135,6 +137,12 @@ def build_everything(args):
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    # per-process share of the global batch (the loader already yields a
+    # disjoint shard of the DATASET per process; each batch must likewise
+    # be this process's local block of the global batch)
+    world = collectives.get_world_size()
+    local_clips = max(1, args.batch_size * n_dev // world)
+    local_val_clips = max(1, n_dev // world)
 
     on_tpu = jax.default_backend() == "tpu"
     model = VQVAE(
@@ -182,7 +190,7 @@ def build_everything(args):
 
         train_loader = RawClipLoader(
             train_ds,
-            batch_clips=args.batch_size * n_dev,
+            batch_clips=local_clips,
             num_workers=args.num_workers,
             seed=args.seed,
             shard_index=collectives.get_rank(),
@@ -194,14 +202,14 @@ def build_everything(args):
     else:
         train_loader = DataLoader(
             train_ds,
-            batch_clips=args.batch_size * n_dev,
+            batch_clips=local_clips,
             num_workers=args.num_workers,
             seed=args.seed,
             shard_index=collectives.get_rank(),
             shard_count=collectives.get_world_size(),
         )
     val_loader = DataLoader(
-        val_ds, batch_clips=n_dev, shuffle=False,
+        val_ds, batch_clips=local_val_clips, shuffle=False,
         num_workers=args.num_workers, seed=args.seed,
     )
 
@@ -257,7 +265,7 @@ def main(argv=None):
     # (otherwise jax.distributed.initialize raises and --multihost would
     # silently degrade to per-host single-process training)
     if args.multihost:
-        collectives.initialize_distributed()
+        collectives.initialize_distributed(**common.multihost_kwargs(args))
     enable_compilation_cache()
     if args.multihost:
         print(

@@ -117,14 +117,32 @@ class DataLoader:
 def prefetch_to_device(iterator, sharding, depth: int = 2):
     """Double-buffered host->device staging.
 
-    Pulls host batches from `iterator` in a background thread and issues
-    `jax.device_put` onto `sharding` ahead of consumption, so the transfer
-    of batch k+1 overlaps the device execution of step k. On a tunneled
+    Pulls host batches from `iterator` in a background thread and stages
+    them onto `sharding` ahead of consumption, so the transfer of batch
+    k+1 overlaps the device execution of step k. On a tunneled
     accelerator the put latency otherwise serializes with every dispatch
     (the round-1 e2e gap: ~70 ms/step of relay latency on top of a ~21 ms
     step). depth bounds device-resident staged batches (memory).
+
+    Multi-process: `jax.device_put` onto a cross-process sharding demands
+    the SAME host value on every process, but each process's loader
+    yields only its own shard — so global arrays are assembled with
+    `jax.make_array_from_process_local_data` instead (the local batch is
+    this process's addressable block of the global batch; caught by
+    tests/test_multiprocess.py's real two-process CLI run).
     """
     import jax
+
+    multiprocess = jax.process_count() > 1
+
+    def stage(x):
+        if multiprocess:
+            import numpy as _np
+
+            return jax.make_array_from_process_local_data(
+                sharding, _np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     out_q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
@@ -132,11 +150,7 @@ def prefetch_to_device(iterator, sharding, depth: int = 2):
     def producer():
         try:
             for batch in iterator:
-                out_q.put(
-                    jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, sharding), batch
-                    )
-                )
+                out_q.put(jax.tree_util.tree_map(stage, batch))
         except Exception as e:
             out_q.put(e)
         finally:

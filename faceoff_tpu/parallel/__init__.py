@@ -3,6 +3,7 @@ from faceoff_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    stage_global,
 )
 from faceoff_tpu.parallel.collectives import (
     get_world_size,
@@ -17,6 +18,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "stage_global",
     "get_world_size",
     "get_rank",
     "is_primary",

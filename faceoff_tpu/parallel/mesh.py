@@ -54,9 +54,27 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stage_global(x, sharding: NamedSharding):
+    """Place one host array onto a (possibly cross-process) sharding.
+
+    Single process: plain `device_put`. Multi-process: the host value is
+    this process's LOCAL shard of the global batch, so the global array
+    is assembled with `jax.make_array_from_process_local_data`
+    (device_put would demand the identical full value on every process —
+    the reference's DDP has the same split: DistributedSampler feeds each
+    rank its own slice, distributed/distributed.py:135-143)."""
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device_put a host batch pytree with the leading axis over 'data'."""
+    """Stage a host batch pytree with the leading axis over 'data'."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+        lambda x: stage_global(x, sharding), batch
     )
