@@ -45,14 +45,21 @@ def add_multihost_flags(p) -> None:
 
 def multihost_kwargs(args) -> dict:
     """kwargs for collectives.initialize_distributed from the flags
-    (empty -> jax cluster autodetection)."""
-    if getattr(args, "coordinator_address", None):
-        return dict(
-            coordinator_address=args.coordinator_address,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
+    (none set -> jax cluster autodetection; a partial set is a
+    misconfiguration that must not silently fall back)."""
+    flags = {
+        "coordinator_address": getattr(args, "coordinator_address", None),
+        "num_processes": getattr(args, "num_processes", None),
+        "process_id": getattr(args, "process_id", None),
+    }
+    given = {k: v for k, v in flags.items() if v is not None}
+    if given and len(given) != len(flags):
+        missing = sorted(set(flags) - set(given))
+        raise SystemExit(
+            "explicit multi-host coordination needs all three flags; "
+            f"missing: {', '.join('--' + m for m in missing)}"
         )
-    return {}
+    return given
 
 
 def build_vqvae(args, in_channels: int = 6) -> VQVAE:

@@ -350,6 +350,8 @@ def main(argv=None):
     val_loader = DataLoader(
         val_ds, batch_clips=local_val_clips, shuffle=False, num_workers=2,
         seed=args.seed,
+        shard_index=collectives.get_rank(),
+        shard_count=collectives.get_world_size(),
     )
     metrics_writer = (
         MetricsWriter(args.metrics_path) if args.metrics_path else None
@@ -357,8 +359,8 @@ def main(argv=None):
     preemption = PreemptionGuard()
 
     def save_all(step_count):
-        if not is_primary():
-            return
+        # EVERY process calls orbax save: its multi-controller sync would
+        # deadlock a primary-only call; orbax itself coordinates writes
         ckpt.save(step_count, state.gen)
         disc_ckpt.save(step_count, _disc_bundle(state))
 
@@ -376,7 +378,11 @@ def main(argv=None):
         # feature space — fd_vgg (per-frame appearance) + fd_vgg_motion
         # (frame-difference features, the FVD temporal-coherence role)
         batch = next(iter(val_loader))
-        b = {k: jnp.asarray(batch[k]) for k in ("input", "gt")}
+        # stage onto the global mesh (per-process local shards in
+        # multihost runs; plain device_put otherwise)
+        b = shard_batch(
+            {k: batch[k] for k in ("input", "gt")}, mesh
+        )
         out, _ = eval_step(state.gen, b)
         fd_vals = {k: float(v) for k, v in fd_fn(b["gt"], out).items()}
         print(

@@ -211,6 +211,8 @@ def build_everything(args):
     val_loader = DataLoader(
         val_ds, batch_clips=local_val_clips, shuffle=False,
         num_workers=args.num_workers, seed=args.seed,
+        shard_index=collectives.get_rank(),
+        shard_count=collectives.get_world_size(),
     )
 
     sample = jnp.zeros(
@@ -272,7 +274,16 @@ def main(argv=None):
             f"multihost: process {collectives.get_rank()} of "
             f"{collectives.get_world_size()}", flush=True,
         )
-    run = random_run_name()
+    if args.multihost:
+        # every process must agree on the run dirs (orbax saves and
+        # sample writes coordinate across processes); derive the suffix
+        # deterministically from the seed instead of per-process
+        # randomness (builtin hash() is per-process salted — md5 isn't)
+        import hashlib
+
+        run = "mh" + hashlib.md5(f"run{args.seed}".encode()).hexdigest()[:4]
+    else:
+        run = random_run_name()
     args.sample_folder = f"{args.sample_folder}_{run}"
     args.checkpoint_dir = f"{args.checkpoint_dir}_{run}" if not args.ckpt else args.checkpoint_dir
     print(args, flush=True)

@@ -133,16 +133,7 @@ def prefetch_to_device(iterator, sharding, depth: int = 2):
     """
     import jax
 
-    multiprocess = jax.process_count() > 1
-
-    def stage(x):
-        if multiprocess:
-            import numpy as _np
-
-            return jax.make_array_from_process_local_data(
-                sharding, _np.asarray(x)
-            )
-        return jax.device_put(x, sharding)
+    from faceoff_tpu.parallel.mesh import stage_global
 
     out_q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     sentinel = object()
@@ -150,7 +141,11 @@ def prefetch_to_device(iterator, sharding, depth: int = 2):
     def producer():
         try:
             for batch in iterator:
-                out_q.put(jax.tree_util.tree_map(stage, batch))
+                out_q.put(
+                    jax.tree_util.tree_map(
+                        lambda x: stage_global(x, sharding), batch
+                    )
+                )
         except Exception as e:
             out_q.put(e)
         finally:

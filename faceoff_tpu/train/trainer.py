@@ -77,6 +77,19 @@ class MetricLogger:
         )
 
 
+def _local_np(x) -> np.ndarray:
+    """Host-read a (possibly cross-process sharded) array: this process's
+    addressable block, concatenated in shard order along the batch axis.
+    np.asarray on a global array spanning non-addressable devices raises;
+    each process reads only the clips it owns."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def run_validation(
     eval_step,
     state,
@@ -105,12 +118,12 @@ def run_validation(
         rep = evaluate_reconstruction(out, batch["gt"])
         reports.append({k: float(v) for k, v in rep.items()})
 
-        inp = np.asarray(batch["input"])
+        inp = _local_np(batch["input"])
         saves = {
             "source": inp[..., :3],
             "background": inp[..., 3:6],
-            "prediction": np.asarray(out),
-            "source_images": np.asarray(batch["gt"]),
+            "prediction": _local_np(out),
+            "source_images": _local_np(batch["gt"]),
         }
         if "source_original" in extra:
             saves["source_original"] = extra["source_original"]
@@ -308,8 +321,7 @@ class Trainer:
 
             if self.preemption.should_stop:
                 print("preemption requested: saving and stopping", flush=True)
-                if is_primary():
-                    self.ckpt.save(self.global_step, self.state)
+                self._save()
                 return logger
 
             # validation on a global-step cadence (the reference's
@@ -333,8 +345,14 @@ class Trainer:
             step,
             mesh=self.mesh,
         )
-        if is_primary():
-            self.ckpt.save(self.global_step, self.state)
+        self._save()
+
+    def _save(self):
+        # EVERY process calls orbax save: in multi-controller runs its
+        # internal cross-process sync would deadlock a primary-only call
+        # (proven by the two-process CLI test); orbax itself writes
+        # replicated data from process 0 only
+        self.ckpt.save(self.global_step, self.state)
 
     def fit(self, epochs: Optional[int] = None):
         n = epochs if epochs is not None else self.cfg.train.epochs

@@ -96,6 +96,22 @@ def _free_port() -> int:
     return port
 
 
+def _communicate_all(procs, timeout=500):
+    """Collect outputs; a hang (the typical distributed regression) must
+    not leak live trainer processes into the rest of the session."""
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    return outs
+
+
 @pytest.mark.slow
 def test_two_process_multihost_cli(tmp_path):
     """The --multihost CLI path end to end across two REAL processes:
@@ -122,7 +138,7 @@ def test_two_process_multihost_cli(tmp_path):
              "faceoff_tpu.cli.train_faceoff_perceptual",
              "--data_root", str(data), "--size", "64", "--epoch", "1",
              "--train_frames", "2", "--val_frames", "2",
-             "--validate_at", "100000", "--num_workers", "1",
+             "--validate_at", "1", "--num_workers", "1",
              "--channel", "16", "--n_res_block", "1",
              "--n_res_channel", "8", "--embed_dim", "8",
              "--n_embed", "32",
@@ -130,18 +146,26 @@ def test_two_process_multihost_cli(tmp_path):
              "--coordinator_address", f"localhost:{port}",
              "--num_processes", "2", "--process_id", str(i),
              "--metrics_path", str(tmp_path / f"m{i}.jsonl"),
-             "--sample_folder", str(tmp_path / f"s{i}"),
-             "--checkpoint_dir", str(tmp_path / f"c{i}")],
+             # run dirs are SHARED across processes (pod-style filesystem):
+             # the seed-derived run suffix makes every process agree, and
+             # orbax coordinates the actual writes
+             "--sample_folder", str(tmp_path / "s"),
+             "--checkpoint_dir", str(tmp_path / "c")],
             env=env, cwd=repo_root,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         ))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=500)
-        outs.append(out.decode())
+    outs = _communicate_all(procs)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2500:]}"
         assert f"multihost: process {i} of 2" in out
+    # validation ran on the cross-process mesh (cross-process sharded
+    # arrays cannot be np.asarray'd whole — _local_np reads local shards)
+    assert "validation:" in outs[0]
+    # the primary wrote sample mp4s and the coordinated orbax checkpoint
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "s_mh*") + "/*.mp4")
+    assert _glob.glob(str(tmp_path / "c_mh*") + "/*")
 
 
 @pytest.mark.slow
@@ -164,10 +188,7 @@ def test_two_process_distributed_train_step(tmp_path):
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=500)
-        outs.append(out.decode())
+    outs = _communicate_all(procs)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
 
