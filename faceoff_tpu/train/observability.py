@@ -40,7 +40,9 @@ class MetricsWriter:
             for k, v in metrics.items():
                 try:
                     record[k] = float(v)
-                except (TypeError, ValueError):
+                except (TypeError, ValueError, RuntimeError):
+                    # RuntimeError: a buffered device scalar whose buffer
+                    # was donated away — drop the value, keep the record
                     pass
             self._f.write(json.dumps(record) + "\n")
         self._buffer.clear()

@@ -288,10 +288,18 @@ class Trainer:
             self.profiler.step(self.global_step)
 
             if self.metrics_writer is not None:
-                # lr rides along as a device scalar; floats happen at flush
+                # lr rides along as a device scalar; floats happen at
+                # flush. COPY it (+0): the raw value is a view into the
+                # train state, whose buffer the next donating step
+                # deletes — with a constant lr XLA aliases it in place
+                # and the buffered reference dies before flush (caught
+                # on hardware; schedules recompute lr so their buffer
+                # happened to be un-aliasable)
+                lr = _raw_lr(self.state)
+                if isinstance(lr, jax.Array):
+                    lr = lr + 0
                 self.metrics_writer.write(
-                    self.global_step, {**metrics, "lr": _raw_lr(self.state)},
-                    epoch=epoch,
+                    self.global_step, {**metrics, "lr": lr}, epoch=epoch,
                 )
 
             if is_primary() and i % self.log_every == 0:
