@@ -460,7 +460,8 @@ def main(argv=None):
                 state, m = run_step(state, batch, step_count, key)
                 step_count += 1
                 pending.append((step_count, epoch, m))
-            if step_count - last_log >= args.log_every:
+            log_now = step_count - last_log >= args.log_every
+            if log_now:
                 last_log = step_count
                 for s, e, pm in pending:
                     vals = {k: float(v) for k, v in pm.items()}
@@ -472,7 +473,14 @@ def main(argv=None):
                 pending.clear()
                 if metrics_writer is not None:
                     metrics_writer.flush()
-            if preemption.should_stop:
+            # multihost: stop by consensus at the aligned log cadence
+            # (per-process signals + all-process orbax saves would
+            # otherwise deadlock the checkpoint barrier)
+            stop_req = (
+                preemption.should_stop if world == 1
+                else (preemption.should_stop_global() if log_now else False)
+            )
+            if stop_req:
                 print("preemption: saving full GAN state", flush=True)
                 save_all(step_count)
                 done = True

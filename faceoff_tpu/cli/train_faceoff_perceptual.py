@@ -16,6 +16,7 @@ checkpoints are orbax directories holding full train state.
 from __future__ import annotations
 
 import argparse
+import os
 import random
 import string
 
@@ -276,12 +277,17 @@ def main(argv=None):
         )
     if args.multihost:
         # every process must agree on the run dirs (orbax saves and
-        # sample writes coordinate across processes); derive the suffix
-        # deterministically from the seed instead of per-process
-        # randomness (builtin hash() is per-process salted — md5 isn't)
-        import hashlib
+        # sample writes coordinate across processes): broadcast a RANDOM
+        # suffix from process 0 — a seed-derived one made same-seed
+        # reruns collide, and orbax silently skips saves at steps below
+        # a reused directory's latest checkpoint
+        import numpy as _np
+        from jax.experimental import multihost_utils
 
-        run = "mh" + hashlib.md5(f"run{args.seed}".encode()).hexdigest()[:4]
+        nonce = multihost_utils.broadcast_one_to_all(
+            _np.frombuffer(os.urandom(4), _np.uint32)[0]
+        )
+        run = "mh" + format(int(nonce), "08x")[:5]
     else:
         run = random_run_name()
     args.sample_folder = f"{args.sample_folder}_{run}"

@@ -61,7 +61,17 @@ class DataLoader:
             # same permutation on every host; disjoint strided slices
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         if self.shard_count > 1:
-            order = order[self.shard_index:: self.shard_count]
+            # BALANCED shards: every process gets exactly
+            # len // shard_count items (cross-process collectives need
+            # every process to iterate the same number of batches; an
+            # uneven or empty tail shard would desync or crash them).
+            # Datasets smaller than the process count duplicate one item
+            # per process — still balanced.
+            per = len(order) // self.shard_count
+            if per == 0:
+                order = order[[self.shard_index % len(order)]]
+            else:
+                order = order[self.shard_index:: self.shard_count][:per]
         return order
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -69,6 +79,7 @@ class DataLoader:
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        abandoned = threading.Event()
 
         def load_clip(epoch: int, pos: int) -> Dict[str, np.ndarray]:
             idx = int(order[pos % len(order)])
@@ -76,6 +87,16 @@ class DataLoader:
                 (self.seed * 1_000_003 + epoch) * 1_000_003 + pos
             )
             return self.dataset.get_item(idx, rng)
+
+        def _put(item) -> bool:
+            """Bounded put that gives up once the consumer is gone."""
+            while not abandoned.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -91,26 +112,39 @@ class DataLoader:
                                 )
                             )
                     for b in range(n_batches):
+                        if abandoned.is_set():
+                            for f in futures:
+                                f.cancel()
+                            return
                         items = [
                             futures[b * self.batch_clips + c].result()
                             for c in range(self.batch_clips)
                         ]
-                        out_q.put(self.pack(items))
+                        if not _put(self.pack(items)):
+                            for f in futures:
+                                f.cancel()
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                _put(e)
             finally:
-                out_q.put(sentinel)
+                _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            thread.join()
+        finally:
+            # consumer stopped early (break / next(iter(...)) / error):
+            # release the producer and its decode workers instead of
+            # leaking them until process exit
+            abandoned.set()
         self.epoch += 1
 
 

@@ -30,6 +30,7 @@ class MetricsWriter:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._f = open(path, "a", buffering=1)
         self._buffer = []
+        self._warned = set()
 
     def write(self, step: int, metrics: Dict[str, float], **extra) -> None:
         self._buffer.append((step, time.time(), metrics, extra))
@@ -40,10 +41,17 @@ class MetricsWriter:
             for k, v in metrics.items():
                 try:
                     record[k] = float(v)
-                except (TypeError, ValueError, RuntimeError):
+                except (TypeError, ValueError, RuntimeError) as e:
                     # RuntimeError: a buffered device scalar whose buffer
-                    # was donated away — drop the value, keep the record
-                    pass
+                    # was donated away — keep the record, drop the value,
+                    # and say so ONCE per key (silent loss would mask the
+                    # exact bug class the lr copy fixed)
+                    if k not in self._warned:
+                        self._warned.add(k)
+                        print(
+                            f"metrics: dropping unreadable '{k}' ({e})",
+                            flush=True,
+                        )
             self._f.write(json.dumps(record) + "\n")
         self._buffer.clear()
 
@@ -101,6 +109,28 @@ class PreemptionGuard:
             flush=True,
         )
         self.should_stop = True
+
+    def should_stop_global(self) -> bool:
+        """Cross-process consensus on stopping. Signals are delivered
+        per process; if only a subset saw SIGTERM, a local-flag save
+        would enter the all-process orbax barrier alone and deadlock —
+        so every process agrees (any-process OR) before saving. Cheap
+        no-op on a single process."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return self.should_stop
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            jnp.asarray([1 if self.should_stop else 0], jnp.int32)
+        )
+        agreed = bool(np.any(np.asarray(flags)))
+        if agreed:
+            self.should_stop = True  # propagate to un-signaled processes
+        return agreed
 
     def restore(self) -> None:
         for sig, prev in self._prev.items():

@@ -81,11 +81,19 @@ def _local_np(x) -> np.ndarray:
     """Host-read a (possibly cross-process sharded) array: this process's
     addressable block, concatenated in shard order along the batch axis.
     np.asarray on a global array spanning non-addressable devices raises;
-    each process reads only the clips it owns."""
+    each process reads only the clips it owns. Replica copies (e.g. the
+    batch replicated over a 'time' mesh axis) are dropped — only
+    replica 0 contributes, and a fully-replicated batch axis
+    (index slice(None)) falls back to one shard."""
     import jax
 
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
+        shards = [
+            s for s in x.addressable_shards if s.replica_id == 0
+        ] or x.addressable_shards[:1]
+        shards = sorted(
+            shards, key=lambda s: s.index[0].start or 0
+        )
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(x)
 
@@ -327,7 +335,7 @@ class Trainer:
                 new_vq = self._revive(self.state, batch["input"], key)
                 self.state = self.state.replace(vq=new_vq)
 
-            if self.preemption.should_stop:
+            if self._stop_requested(i):
                 print("preemption requested: saving and stopping", flush=True)
                 self._save()
                 return logger
@@ -354,6 +362,17 @@ class Trainer:
             mesh=self.mesh,
         )
         self._save()
+
+    def _stop_requested(self, i: int) -> bool:
+        """Preemption check. Multi-process: signals land per process, so
+        consensus runs at the (process-aligned) log cadence — a stop on
+        any process stops all of them before anyone enters the
+        all-process checkpoint barrier alone."""
+        if jax.process_count() <= 1:
+            return self.preemption.should_stop
+        if i % self.log_every == 0:
+            return self.preemption.should_stop_global()
+        return False
 
     def _save(self):
         # EVERY process calls orbax save: in multi-controller runs its
