@@ -45,14 +45,25 @@ def make_optimizer(
     warmup_proportion: float = 0.05,
     b1: float = 0.9,
     b2: float = 0.999,
+    momentum: tuple = (0.95, 0.85),
 ) -> optax.GradientTransformation:
     """Adam with the flag-selected LR schedule
     (reference train_faceoff_perceptual.py:190-201: optim.Adam + optional
-    CycleScheduler stepped per iteration)."""
+    CycleScheduler stepped per iteration).
+
+    The one-cycle policy also cycles Adam's b1 alongside the lr — high to
+    low over the warmup, back up during the anneal (reference
+    scheduler.py:275-283 writes group['betas'] = (momentum, b2) each step)
+    — so `--sched cycle` injects the companion momentum schedule too."""
     sched = schedules.make_schedule(sched_name, lr, n_iter, warmup_proportion)
     learning_rate: Any = sched if sched is not None else lr
+    b1_arg: Any = b1
+    if sched_name == "cycle":
+        b1_arg = schedules.cycle_momentum_schedule(
+            n_iter, momentum, warmup_proportion
+        )
     return optax.inject_hyperparams(optax.adam)(
-        learning_rate=learning_rate, b1=b1, b2=b2
+        learning_rate=learning_rate, b1=b1_arg, b2=b2
     )
 
 

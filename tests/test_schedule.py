@@ -73,3 +73,51 @@ def test_make_schedule_exposes_cycle_anneal_and_lr_finder():
     sf = S.make_schedule("lr_finder", 1e-3, 100)
     v0, v99 = float(sf(0)), float(sf(99))
     assert v0 < 2e-6 and v99 > 5e-4  # exponential sweep over ~3 decades
+
+
+def test_cycle_injects_momentum_into_adam_b1():
+    """`--sched cycle` must cycle Adam's b1 alongside the lr, as the
+    reference CycleScheduler writes group['betas'] = (momentum, b2) every
+    step (reference scheduler.py:275-316). Asserts the injected b1 hyperparam
+    tracks cycle_momentum_schedule through real optimizer updates."""
+    import jax.numpy as jnp
+
+    from faceoff_tpu.train.state import make_optimizer
+
+    n_iter, wp = 20, 0.3
+    tx = make_optimizer(
+        1e-3, sched_name="cycle", n_iter=n_iter, warmup_proportion=wp
+    )
+    ref_b1 = S.cycle_momentum_schedule(n_iter, (0.95, 0.85), wp)
+    ref_lr = S.cycle_schedule(1e-3, n_iter, warmup_proportion=wp)
+
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.full((3,), 0.1)}
+    opt_state = tx.init(params)
+    for step in range(12):
+        _, opt_state = tx.update(grads, opt_state, params)
+        # hyperparams hold the values USED by the update just applied
+        assert float(opt_state.hyperparams["b1"]) == pytest.approx(
+            float(ref_b1(step)), rel=1e-5
+        )
+        assert float(opt_state.hyperparams["learning_rate"]) == pytest.approx(
+            float(ref_lr(step)), rel=1e-5
+        )
+    # b1 actually moved (0.95 -> toward 0.85 across the warmup)
+    assert float(opt_state.hyperparams["b1"]) < 0.90
+
+
+def test_plain_adam_b1_constant():
+    """Without a schedule the optimizer keeps the fixed b1."""
+    import jax.numpy as jnp
+
+    from faceoff_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(1e-3)
+    params = {"w": jnp.ones((2,))}
+    opt_state = tx.init(params)
+    for _ in range(3):
+        _, opt_state = tx.update(
+            {"w": jnp.full((2,), 0.1)}, opt_state, params
+        )
+    assert float(opt_state.hyperparams["b1"]) == pytest.approx(0.9)
