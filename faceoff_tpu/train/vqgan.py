@@ -31,7 +31,25 @@ from faceoff_tpu.losses import hinge_d_loss, mse_loss, vanilla_d_loss
 from faceoff_tpu.ops import video as video_ops
 from faceoff_tpu.train.state import TrainState
 
-LAST_LAYER_PATH = ("dec", "ConvTranspose_1")  # final decoder conv params
+def find_last_layer_path(params) -> Tuple[str, ...]:
+    """Path to the final decoder layer's params, derived from the model
+    structure: the highest-numbered ConvTranspose in the 'dec' subtree (the
+    layer producing the output image — a stride-4 decoder has two, a
+    stride-2 decoder one). The reference anchors its adaptive weight to the
+    same tensor (`decoder.blocks[-1].weight`, reference loss.py:64-69)."""
+    import re
+
+    dec = params["dec"]
+    best, best_idx = None, -1
+    for name in dec:
+        m = re.fullmatch(r"ConvTranspose_(\d+)", name)
+        if m and int(m.group(1)) > best_idx:
+            best_idx, best = int(m.group(1)), name
+    if best is None:
+        raise ValueError(
+            f"no ConvTranspose in decoder params (keys: {sorted(dec)})"
+        )
+    return ("dec", best)
 
 
 def _l1(pred, target):
@@ -61,9 +79,9 @@ def create_vqgan_state(
     )
 
 
-def _last_layer(params):
+def _last_layer(params, path):
     node = params
-    for k in LAST_LAYER_PATH:
+    for k in path:
         node = node[k]
     return node
 
@@ -111,20 +129,23 @@ def make_vqgan_steps(
     def gen_step(
         state: VQGANState, batch: Dict[str, jnp.ndarray], lpips_vars: Any = None
     ) -> Tuple[VQGANState, Dict[str, jnp.ndarray]]:
-        # adaptive weight: grads of nll and g_loss wrt the last decoder layer
+        # adaptive weight: grads of nll and g_loss wrt the last decoder
+        # layer (path derived from the params structure at trace time)
+        last_path = find_last_layer_path(state.gen.params)
+
         def nll_wrt_last(last, params, vq):
-            params = _set_last(params, last)
+            params = _set_last(params, last, last_path)
             out, latent, _ = forward(params, vq, batch)
             recon, perceptual = nll_of(out, batch, lpips_vars)
             return recon + perceptual_loss_weight * perceptual
 
         def g_wrt_last(last, params, vq):
-            params = _set_last(params, last)
+            params = _set_last(params, last, last_path)
             out, _, _ = forward(params, vq, batch)
             logits = disc_logits(state.disc_vars, video_ops.fold_time(out))
             return _l1(logits, jnp.ones_like(logits))
 
-        last = _last_layer(state.gen.params)
+        last = _last_layer(state.gen.params, last_path)
         nll_grads = jax.grad(nll_wrt_last)(last, state.gen.params, state.gen.vq)
         g_grads = jax.grad(g_wrt_last)(last, state.gen.params, state.gen.vq)
 
@@ -206,13 +227,13 @@ def make_vqgan_steps(
     return gen_step, disc_step
 
 
-def _set_last(params, last):
+def _set_last(params, last, path):
     """Replace the last-layer subtree (functional update)."""
     import flax
 
     p = flax.core.unfreeze(params)
     node = p
-    for k in LAST_LAYER_PATH[:-1]:
+    for k in path[:-1]:
         node = node[k]
-    node[LAST_LAYER_PATH[-1]] = last
+    node[path[-1]] = last
     return p

@@ -59,3 +59,70 @@ class TestVQGAN:
         )
         _, dm = disc_step(state, batch)
         assert np.isfinite(float(dm["d_loss"]))
+
+
+class TestLastLayerDerivation:
+    """The adaptive-weight anchor layer is derived from the decoder params
+    structure, not hardcoded (reference loss.py:64-69 anchors to
+    decoder.blocks[-1].weight). A stride-2 decoder has ONE ConvTranspose, a
+    stride-4 decoder two — both must resolve without KeyError."""
+
+    def test_path_on_flagship_model(self, setup):
+        from faceoff_tpu.train.vqgan import find_last_layer_path
+
+        model, disc, state, batch = setup
+        assert find_last_layer_path(state.gen.params) == (
+            "dec", "ConvTranspose_1",
+        )
+
+    def test_path_and_full_step_on_stride2_decoder(self):
+        import flax.linen as nn
+
+        from faceoff_tpu.models.vqvae import Decoder
+        from faceoff_tpu.train import create_train_state
+        from faceoff_tpu.train.vqgan import find_last_layer_path
+
+        class TinyStride2Gen(nn.Module):
+            """Minimal generator whose decoder is stride-2 (single
+            ConvTranspose)."""
+
+            @nn.compact
+            def __call__(self, video, train=False):
+                b, t = video.shape[:2]
+                x = video.reshape((b * t,) + video.shape[2:])
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                x = Decoder(
+                    out_channel=6, channel=8, n_res_block=1,
+                    n_res_channel=4, stride=2, dtype=jnp.float32,
+                    name="dec",
+                )(x)
+                # vq collection so the vqgan forward's mutable=["vq"] works
+                self.variable("vq", "dummy", lambda: jnp.zeros(()))
+                out = x.reshape((b, t) + x.shape[1:])
+                return out, jnp.zeros((), jnp.float32)
+
+        model = TinyStride2Gen()
+        disc = NLayerDiscriminator(ndf=8, n_layers=2)
+        gt = jax.random.uniform(
+            jax.random.key(0), (1, T, HW, HW, 3), minval=-1, maxval=1
+        )
+        batch = {"input": jnp.concatenate([gt, gt], axis=-1), "gt": gt}
+        gen_state = create_train_state(
+            model, jax.random.key(1), batch["input"], lr=1e-4
+        )
+        assert find_last_layer_path(gen_state.params) == (
+            "dec", "ConvTranspose_0",
+        )
+        state = create_vqgan_state(
+            gen_state, disc, jax.random.key(2), image_hw=HW, disc_lr=1e-4
+        )
+        gen_step, _ = make_vqgan_steps(model, disc, donate=False)
+        state, m = gen_step(state, batch)
+        assert np.isfinite(float(m["g_loss"]))
+        assert np.isfinite(float(m["d_weight"]))
+
+    def test_no_convtranspose_raises(self):
+        from faceoff_tpu.train.vqgan import find_last_layer_path
+
+        with pytest.raises(ValueError, match="no ConvTranspose"):
+            find_last_layer_path({"dec": {"Conv_0": {}}})
