@@ -76,8 +76,20 @@ def all_reduce_mean(x: jnp.ndarray, axis_name: str = "data") -> jnp.ndarray:
     return jax.lax.pmean(x, axis_name)
 
 
-def synchronize() -> None:
-    """Barrier across devices (reference distributed/distributed.py:42-52)."""
-    jax.block_until_ready(
-        jax.device_put(jnp.zeros(()), jax.devices()[0]) + 0
-    )
+def synchronize(name: str = "faceoff_sync") -> None:
+    """Cross-process barrier (reference distributed/distributed.py:42-52:
+    dist.barrier() when world_size > 1).
+
+    Blocks until every process in the jax.distributed runtime reaches the
+    same named point, via a psum over all global devices
+    (multihost_utils.sync_global_devices). Single-process runs only drain
+    the local dispatch queue — the same degradation as the reference's
+    world_size==1 early return."""
+    if jax.process_count() <= 1:
+        jax.block_until_ready(
+            jax.device_put(jnp.zeros(()), jax.devices()[0]) + 0
+        )
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)

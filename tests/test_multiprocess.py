@@ -85,6 +85,15 @@ step = make_train_step(model, donate=False)
 state, metrics = step(state, batch)
 loss = jax.jit(lambda x: x + 0, out_shardings=repl)(metrics["loss"])
 print("LOSS", float(loss.addressable_data(0)), flush=True)
+
+# synchronize() must be a REAL cross-process barrier: rank 0 arrives 2s
+# late, so rank 1's wall time inside the barrier proves it blocked.
+import time
+t0 = time.perf_counter()
+if pid == 0:
+    time.sleep(2.0)
+collectives.synchronize("test_barrier")
+print("BARRIER", time.perf_counter() - t0, flush=True)
 '''
 
 
@@ -204,3 +213,6 @@ def test_two_process_distributed_train_step(tmp_path):
     l0, l1 = grab("LOSS", outs[0]), grab("LOSS", outs[1])
     assert np.isfinite(l0)
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    # the barrier blocked rank 1 until late-arriving rank 0 reached it
+    assert grab("BARRIER", outs[0]) >= 1.8
+    assert grab("BARRIER", outs[1]) >= 1.8
