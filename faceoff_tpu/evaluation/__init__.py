@@ -4,6 +4,7 @@ from faceoff_tpu.evaluation.frechet import (
     frechet_distance,
     make_fd_vgg,
     make_fd_video,
+    make_fd_video_features,
     motion_features,
     vgg_features,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "frechet_distance",
     "make_fd_vgg",
     "make_fd_video",
+    "make_fd_video_features",
     "motion_features",
     "vgg_features",
 ]

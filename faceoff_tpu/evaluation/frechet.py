@@ -127,6 +127,44 @@ def motion_features(
     return vgg_features(lpips_vars, flat, max_dim)
 
 
+def make_fd_video_features(lpips_vars) -> Tuple[Callable, Callable]:
+    """Multi-batch Fréchet: extract per-batch features, compute stats once
+    over ALL batches. Single-batch Fréchet stats are high-variance (one
+    batch of --val_batches clips); accumulating features first makes the
+    validation-cadence fd_vgg/fd_vgg_motion numbers stable.
+
+    Returns (feats, finalize):
+      feats(real, fake)  -> dict of (N, D) feature arrays for one batch of
+                            (B, T, H, W, 3) clips in [-1, 1]
+      finalize(chunks)   -> {'fd_vgg', 'fd_vgg_motion'} over the
+                            concatenation of all chunks
+    """
+
+    def feats(real: jnp.ndarray, fake: jnp.ndarray):
+        return {
+            "frame_real": vgg_features(
+                lpips_vars, real.reshape((-1,) + real.shape[2:])
+            ),
+            "frame_fake": vgg_features(
+                lpips_vars, fake.reshape((-1,) + fake.shape[2:])
+            ),
+            "motion_real": motion_features(lpips_vars, real),
+            "motion_fake": motion_features(lpips_vars, fake),
+        }
+
+    def finalize(chunks):
+        cat = {
+            k: jnp.concatenate([c[k] for c in chunks], axis=0)
+            for k in chunks[0]
+        }
+        return {
+            "fd_vgg": fid(cat["frame_real"], cat["frame_fake"]),
+            "fd_vgg_motion": fid(cat["motion_real"], cat["motion_fake"]),
+        }
+
+    return feats, finalize
+
+
 def make_fd_video(lpips_vars) -> Callable:
     """fd(real, fake) on (B,T,H,W,3) [-1,1] clips -> dict with
     `fd_vgg` (appearance: per-frame VGG Fréchet distance) and

@@ -105,3 +105,29 @@ class TestFdVideo:
         # broken ordering -> motion distance far above the noise floor
         assert shuf["fd_vgg_motion"] > 0.2
         assert shuf["fd_vgg_motion"] > 10 * abs(shuf["fd_vgg"])
+
+
+def test_multibatch_features_match_single_batch():
+    """Accumulating per-batch features then computing stats once must equal
+    computing the distance over all clips in one batch — the multi-batch
+    validation path (cli/train_faceoff_gan.py) is exact, not an average of
+    per-batch distances."""
+    import jax
+
+    from faceoff_tpu.evaluation import make_fd_video, make_fd_video_features
+    from faceoff_tpu.models.lpips import init_lpips
+
+    _, lpips_vars = init_lpips(jax.random.key(0), image_size=32)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    real = jax.random.uniform(k1, (4, 3, 32, 32, 3), minval=-1, maxval=1)
+    fake = jax.random.uniform(k2, (4, 3, 32, 32, 3), minval=-1, maxval=1)
+
+    whole = make_fd_video(lpips_vars)(real, fake)
+    feats, finalize = make_fd_video_features(lpips_vars)
+    chunked = finalize([
+        feats(real[:2], fake[:2]), feats(real[2:], fake[2:]),
+    ])
+    for k in ("fd_vgg", "fd_vgg_motion"):
+        np.testing.assert_allclose(
+            float(chunked[k]), float(whole[k]), rtol=1e-4
+        )
