@@ -124,6 +124,10 @@ def build_parser():
     common.add_model_flags(p)
     p.add_argument("--ndf", type=int, default=64,
                    help="discriminator base width")
+    p.add_argument("--disc_noise", type=float, default=0.0,
+                   help="mocogan: additive gaussian input-noise sigma for "
+                        "the discriminators (reference "
+                        "mocogan_discriminator.py:16-25 use_noise; 0=off)")
     p.add_argument("--adversarial_start", type=int, default=0,
                    help="mocoganhd: discriminator warmup — zero the "
                         "generator's adversarial terms for this many steps "
@@ -281,8 +285,13 @@ def main(argv=None):
             make_mocogan_step,
         )
 
-        d_img = PatchImageDiscriminator(ndf=args.ndf)
-        d_vid = PatchVideoDiscriminator(ndf=args.ndf)
+        use_noise = args.disc_noise > 0
+        d_img = PatchImageDiscriminator(
+            ndf=args.ndf, use_noise=use_noise, noise_sigma=args.disc_noise
+        )
+        d_vid = PatchVideoDiscriminator(
+            ndf=args.ndf, use_noise=use_noise, noise_sigma=args.disc_noise
+        )
         state = create_mocogan_state(
             gen_state, d_img, d_vid, jax.random.key(args.seed + 2),
             frames=args.train_frames, image_hw=args.size,
@@ -364,9 +373,9 @@ def main(argv=None):
         ckpt.save(step_count, state.gen)
         disc_ckpt.save(step_count, _disc_bundle(state))
 
-    from faceoff_tpu.evaluation import make_fd_video
+    from faceoff_tpu.evaluation import make_fd_video_features
 
-    fd_fn = make_fd_video(fd_lpips_vars)
+    fd_feats, fd_finalize = make_fd_video_features(fd_lpips_vars)
 
     def validate(epoch, step_count):
         run_validation(
@@ -376,15 +385,21 @@ def main(argv=None):
         # adversarial-quality proxies the reference lacks entirely:
         # Fréchet distances between real and generated clips in VGG
         # feature space — fd_vgg (per-frame appearance) + fd_vgg_motion
-        # (frame-difference features, the FVD temporal-coherence role)
-        batch = next(iter(val_loader))
-        # stage onto the global mesh (per-process local shards in
-        # multihost runs; plain device_put otherwise)
-        b = shard_batch(
-            {k: batch[k] for k in ("input", "gt")}, mesh
-        )
-        out, _ = eval_step(state.gen, b)
-        fd_vals = {k: float(v) for k, v in fd_fn(b["gt"], out).items()}
+        # (frame-difference features, the FVD temporal-coherence role).
+        # Features accumulate over ALL --val_batches batches before the
+        # stats are computed (single-batch Fréchet stats are too noisy).
+        chunks = []
+        for bi, batch in enumerate(val_loader):
+            if bi >= args.val_batches:
+                break
+            # stage onto the global mesh (per-process local shards in
+            # multihost runs; plain device_put otherwise)
+            b = shard_batch(
+                {k: batch[k] for k in ("input", "gt")}, mesh
+            )
+            out, _ = eval_step(state.gen, b)
+            chunks.append(fd_feats(b["gt"], out))
+        fd_vals = {k: float(v) for k, v in fd_finalize(chunks).items()}
         print(
             " ".join(f"{k}: {v:.4f}" for k, v in fd_vals.items()),
             flush=True,

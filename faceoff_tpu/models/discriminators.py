@@ -190,7 +190,11 @@ class GaussianNoise(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        if not train or not self.has_rng("noise"):
+        # The reference's Noise layer is active whenever use_noise is set —
+        # in both discriminator and generator passes (it never checks
+        # self.training). Here activity is controlled by providing a
+        # 'noise' PRNG stream: no rng, no noise.
+        if not self.has_rng("noise"):
             return x
         key = self.make_rng("noise")
         return x + self.sigma * jax.random.normal(key, x.shape, x.dtype)
@@ -231,6 +235,8 @@ class PatchVideoDiscriminator(nn.Module):
     (1,2,2), time dim preserved until the logit map."""
 
     ndf: int = 64
+    use_noise: bool = False
+    noise_sigma: float = 0.2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -242,6 +248,8 @@ class PatchVideoDiscriminator(nn.Module):
             (self.ndf * 16, (1, 4, 4)),
         ]
         for i, (nf, k) in enumerate(plan):
+            if self.use_noise:
+                x = GaussianNoise(self.noise_sigma)(x, train=train)
             x = nn.Conv(
                 nf, k, strides=(1, 2, 2),
                 padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,
@@ -263,11 +271,15 @@ class ImageDiscriminator(nn.Module):
     (reference mocogan_discriminator.py:29-70)."""
 
     ndf: int = 64
+    use_noise: bool = False
+    noise_sigma: float = 0.2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         widths = [1, 2, 4, 8, 16, 32]
         for i, m in enumerate(widths):
+            if self.use_noise:
+                x = GaussianNoise(self.noise_sigma)(x, train=train)
             x = nn.Conv(
                 self.ndf * m, (4, 4), strides=2, padding=1, use_bias=False,
                 kernel_init=conv_init,
@@ -287,6 +299,8 @@ class VideoDiscriminator(nn.Module):
     (reference mocogan_discriminator.py:116-161)."""
 
     ndf: int = 64
+    use_noise: bool = False
+    noise_sigma: float = 0.2
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -299,6 +313,8 @@ class VideoDiscriminator(nn.Module):
             (self.ndf * 32, (1, 4, 4)),
         ]
         for i, (nf, k) in enumerate(plan):
+            if self.use_noise:
+                x = GaussianNoise(self.noise_sigma)(x, train=train)
             x = nn.Conv(
                 nf, k, strides=(1, 2, 2),
                 padding=[(0, 0), (1, 1), (1, 1)], use_bias=False,

@@ -88,27 +88,40 @@ def make_mocogan_step(
         )
         return dec[..., :3], latent, updates["vq"]
 
-    def disc_apply(d, dvars, x, train):
+    def disc_apply(d, dvars, x, train, noise_key=None):
         extra = {}
         if "batch_stats" in dvars:
             extra["batch_stats"] = dvars["batch_stats"]
+        # 'noise' rng activates the GaussianNoise layers of use_noise
+        # discriminators (reference mocogan_discriminator.py:16-25); the
+        # reference applies it in generator passes too, so it is threaded
+        # independently of `train`
+        rngs = {"noise": noise_key} if noise_key is not None else None
         if train:
             out, ups = d.apply(
                 {"params": dvars["params"], **extra}, x, train=True,
-                mutable=["batch_stats"] if extra else [],
+                mutable=["batch_stats"] if extra else [], rngs=rngs,
             )
             new_vars = dict(dvars)
             if extra:
                 new_vars["batch_stats"] = ups["batch_stats"]
             return out, new_vars
-        return d.apply({"params": dvars["params"], **extra}, x, train=False), dvars
+        return (
+            d.apply(
+                {"params": dvars["params"], **extra}, x, train=False,
+                rngs=rngs,
+            ),
+            dvars,
+        )
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(
         state: MocoganState, batch: Dict[str, jnp.ndarray], key: jax.Array,
         lpips_vars: Any = None,
     ) -> Tuple[MocoganState, Dict[str, jnp.ndarray]]:
-        k_frame = jax.random.split(key, 1)[0]
+        # one noise stream per discriminator application site (inactive
+        # unless the discriminators were built with use_noise=True)
+        nk = jax.random.split(key, 6)
 
         # reconstruction once, reused by every sub-update
         out, latent, new_vq = gen_forward(state.gen.params, state.gen.vq, batch)
@@ -119,8 +132,12 @@ def make_mocogan_step(
         # ---- image discriminator update (reference :136-150)
         def d_img_loss_fn(params):
             dvars = {**state.d_img_vars, "params": params}
-            real_logits, nv = disc_apply(d_img, dvars, real_frames, True)
-            fake_logits, nv = disc_apply(d_img, nv, fake_frames_sg, True)
+            real_logits, nv = disc_apply(
+                d_img, dvars, real_frames, True, noise_key=nk[0]
+            )
+            fake_logits, nv = disc_apply(
+                d_img, nv, fake_frames_sg, True, noise_key=nk[1]
+            )
             loss = bce_logits_loss(real_logits, True) + bce_logits_loss(
                 fake_logits, False
             )
@@ -141,8 +158,12 @@ def make_mocogan_step(
         # ---- video discriminator update (reference :152-165)
         def d_vid_loss_fn(params):
             dvars = {**state.d_vid_vars, "params": params}
-            real_logits, nv = disc_apply(d_vid, dvars, batch["gt"], True)
-            fake_logits, nv = disc_apply(d_vid, nv, out_sg, True)
+            real_logits, nv = disc_apply(
+                d_vid, dvars, batch["gt"], True, noise_key=nk[2]
+            )
+            fake_logits, nv = disc_apply(
+                d_vid, nv, out_sg, True, noise_key=nk[3]
+            )
             loss = bce_logits_loss(real_logits, True) + bce_logits_loss(
                 fake_logits, False
             )
@@ -166,8 +187,12 @@ def make_mocogan_step(
             out_g, latent_g, new_vq_g = gen_forward(params, vq, batch)
             recon = mse_loss(out_g, batch["gt"])
             fake_frames = video_ops.fold_time(out_g)
-            img_logits, _ = disc_apply(d_img, d_img_vars, fake_frames, False)
-            vid_logits, _ = disc_apply(d_vid, d_vid_vars, out_g, False)
+            img_logits, _ = disc_apply(
+                d_img, d_img_vars, fake_frames, False, noise_key=nk[4]
+            )
+            vid_logits, _ = disc_apply(
+                d_vid, d_vid_vars, out_g, False, noise_key=nk[5]
+            )
             g_img = bce_logits_loss(img_logits, True)
             g_vid = bce_logits_loss(vid_logits, True)
             perceptual = jnp.zeros((), jnp.float32)
