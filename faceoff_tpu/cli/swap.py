@@ -46,7 +46,15 @@ def build_parser():
     p.add_argument("--chunk", type=int, default=32,
                    help="frames per device batch")
     p.add_argument("--save_streams", action="store_true",
-                   help="also write composite/background streams")
+                   help="also write composite/background/naive streams")
+    p.add_argument("--blend", choices=["paste", "poisson"], default="paste",
+                   help="how the naive combined baseline stream is blended "
+                        "(written with --save_streams): hard paste "
+                        "(reference combine_images) or iterative Laplacian "
+                        "poisson blending (reference "
+                        "face_translation_videos3_utils.py:79-82)")
+    p.add_argument("--poisson_iters", type=int, default=1024,
+                   help="Jacobi iterations for --blend poisson")
     p.add_argument("--device_pipeline", action="store_true",
                    help="run the hull/Umeyama/warp/composite geometry on "
                         "the accelerator, fused into one program per chunk "
@@ -73,6 +81,7 @@ def main(argv=None):
     if n == 0:
         raise SystemExit("no overlapping frames with landmarks")
 
+    naives = []  # the crude paste / poisson-blend baseline the model refines
     if args.device_pipeline:
         # host only decodes; hull/Umeyama/warp/composite run on device.
         # Processed in fixed-size chunks (padded tail) so arbitrarily long
@@ -105,20 +114,27 @@ def main(argv=None):
             streams = prepare_swap_batch(
                 jnp.asarray(stacked["src"]), jnp.asarray(stacked["src_lms"]),
                 jnp.asarray(stacked["tgt"]), jnp.asarray(stacked["tgt_lms"]),
+                poisson=(args.blend == "poisson"),
+                poisson_iters=args.poisson_iters,
             )
             sources += list(np.asarray(streams["source"]))[: len(pairs)]
             backgrounds += list(
                 np.asarray(streams["background"])
             )[: len(pairs)]
+            naives += list(np.asarray(streams["combined"]))[: len(pairs)]
     else:
         # host-side geometry: hull -> warp -> composite per frame pair
         sources, backgrounds = [], []
         for sp, tp in zip(src_paths[:n], tgt_paths[:n]):
             s_img, s_lms = load_frame(sp, args.size)
             t_img, t_lms = load_frame(tp, args.size)
-            out = geometry.generate_warped_image(s_lms, t_lms, s_img, t_img)
+            out = geometry.generate_warped_image(
+                s_lms, t_lms, s_img, t_img,
+                poisson=(args.blend == "poisson"),
+            )
             sources.append(normalize(out["source_face_transformed"]))
             backgrounds.append(normalize(out["target_without_face_features"]))
+            naives.append(normalize(out["combined"]))
 
     model = common.build_vqvae(args)
     sample = jnp.zeros((1, args.chunk, args.size, args.size, 6), jnp.float32)
@@ -146,7 +162,12 @@ def main(argv=None):
             [denormalize(f) for f in backgrounds], f"{stem}_background.mp4",
             fps=args.fps,
         )
-        print(f"wrote {stem}_composite.mp4, {stem}_background.mp4")
+        save_frames_as_video(
+            [denormalize(f) for f in naives],
+            f"{stem}_naive_{args.blend}.mp4", fps=args.fps,
+        )
+        print(f"wrote {stem}_composite.mp4, {stem}_background.mp4, "
+              f"{stem}_naive_{args.blend}.mp4")
 
 
 def _run_streaming(args, model, state, sources, backgrounds):

@@ -28,9 +28,45 @@ from faceoff_tpu.ops import warp as W
 STABLE_POINTS = (33, 36, 39, 42, 45)  # reference :144
 
 
+def _laplace3(x: jnp.ndarray) -> jnp.ndarray:
+    """Discrete Laplacian over the last 3 axes (H, W, C) with symmetric
+    boundaries — the stencil scipy.ndimage.laplace applies to an (H, W, C)
+    image (it includes the channel axis; boundary mode 'reflect')."""
+    pad = [(0, 0)] * (x.ndim - 3) + [(1, 1), (1, 1), (1, 1)]
+    p = jnp.pad(x, pad, mode="symmetric")
+    return (
+        p[..., :-2, 1:-1, 1:-1] + p[..., 2:, 1:-1, 1:-1]
+        + p[..., 1:-1, :-2, 1:-1] + p[..., 1:-1, 2:, 1:-1]
+        + p[..., 1:-1, 1:-1, :-2] + p[..., 1:-1, 1:-1, 2:]
+        - 6.0 * x
+    )
+
+
+def poisson_blend(
+    target: jnp.ndarray,
+    src: jnp.ndarray,
+    mask: jnp.ndarray,
+    iters: int = 1024,
+) -> jnp.ndarray:
+    """Jittable iterative Laplacian blending — the device twin of
+    data/geometry.poisson_blend (reference
+    face_translation_videos3_utils.py:79-82): `iters` Jacobi relaxation
+    steps as one lax.scan. Float images in [0, 1], shape (..., H, W, C);
+    the reference passes the warped face image itself as `mask`."""
+
+    def body(out, _):
+        return out + 0.25 * mask * _laplace3(out - src), None
+
+    out, _ = jax.lax.scan(
+        body, target.astype(jnp.float32), None, length=iters
+    )
+    return jnp.clip(out, 0.0, 1.0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("hull_start", "hull_end", "enlargement"),
+    static_argnames=("hull_start", "hull_end", "enlargement", "poisson",
+                     "poisson_iters"),
 )
 def prepare_swap_batch(
     src_frames: jnp.ndarray,
@@ -41,6 +77,8 @@ def prepare_swap_batch(
     hull_start: int = 17,
     hull_end: int = 67,
     enlargement: int = 10,
+    poisson: bool = False,
+    poisson_iters: int = 1024,
 ) -> Dict[str, jnp.ndarray]:
     """Batched source->target face transfer (no perturbation — this is the
     inference path, reference dataset.py:341-354 cross-identity mode).
@@ -80,14 +118,21 @@ def prepare_swap_batch(
 
         # naive paste: zero the target where the warped face has content,
         # then add (reference combine_images :99-107)
-        t_mask_full = W.convex_mask(t_lms, h, w)
-        has_face = (warped_face.sum(axis=-1, keepdims=True) > 0).astype(
-            jnp.float32
-        )
-        combined = (
-            t_img * (1.0 - t_mask_full)[..., None] * (1.0 - has_face)
-            + warped_face
-        )
+        if poisson:
+            # reference poisson variant (:184-185): Laplacian-blend the
+            # source into the target, modulated by the warped face image
+            combined = poisson_blend(
+                t_img, s_img, warped_face, iters=poisson_iters
+            )
+        else:
+            t_mask_full = W.convex_mask(t_lms, h, w)
+            has_face = (warped_face.sum(axis=-1, keepdims=True) > 0).astype(
+                jnp.float32
+            )
+            combined = (
+                t_img * (1.0 - t_mask_full)[..., None] * (1.0 - has_face)
+                + warped_face
+            )
         return warped_face, background, combined
 
     source, background, combined = jax.vmap(one)(

@@ -194,6 +194,19 @@ class TestSwapCLI:
         # identical numerics; residual differences are codec noise
         assert np.mean(np.abs(a.astype(np.float32) - b.astype(np.float32))) < 2.0
 
+        # --blend poisson is reachable end to end and writes the
+        # Laplacian-blended naive baseline stream (reference
+        # face_translation_videos3_utils.py:79-82)
+        swap_main(
+            base + ["--blend", "poisson", "--poisson_iters", "16",
+                    "--save_streams",
+                    "--out", str(tmp_path / "pblend.mp4")]
+        )
+        naive = np.stack(
+            read_video_frames(str(tmp_path / "pblend_naive_poisson.mp4"))
+        )
+        assert naive.shape[0] == 6
+
 
 class TestEvaluateCLI:
     def test_selfsupervised_and_crossid(self, synth_root, tmp_path, capsys):

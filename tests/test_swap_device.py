@@ -104,3 +104,45 @@ class TestSwapParity:
         np.testing.assert_array_equal(
             np.asarray(out["input"][0]), np.asarray(out["input"][-1])
         )
+
+
+class TestPoissonBlend:
+    def test_device_matches_host_scipy(self, pair):
+        """ops.swap.poisson_blend (lax.scan Jacobi) must match the host
+        scipy-laplace implementation (geometry.poisson_blend, reference
+        face_translation_videos3_utils.py:79-82) iteration for iteration."""
+        from faceoff_tpu.ops.swap import poisson_blend as device_blend
+
+        src_img, src_lms, tgt_img, tgt_lms = pair
+        out = geometry.generate_warped_image(src_lms, tgt_lms, src_img, tgt_img)
+        t01 = tgt_img / 255.0
+        s01 = src_img / 255.0
+        m01 = out["source_face_transformed"] / 255.0
+        host = geometry.poisson_blend(t01, s01, m01, iters=48)
+        dev = np.asarray(
+            device_blend(
+                jnp.asarray(t01), jnp.asarray(s01), jnp.asarray(m01),
+                iters=48,
+            )
+        )
+        np.testing.assert_allclose(dev, host, atol=2e-4)
+
+    def test_batched_and_changes_output(self, pair):
+        """prepare_swap_batch(poisson=True) runs batched under jit and
+        produces a combined stream different from the hard paste."""
+        src_img, src_lms, tgt_img, tgt_lms = pair
+        args = (
+            jnp.asarray(np.stack([src_img] * 2)),
+            jnp.asarray(np.stack([src_lms] * 2)),
+            jnp.asarray(np.stack([tgt_img] * 2)),
+            jnp.asarray(np.stack([tgt_lms] * 2)),
+        )
+        paste = prepare_swap_batch(*args)["combined"]
+        blended = prepare_swap_batch(*args, poisson=True, poisson_iters=32)[
+            "combined"
+        ]
+        assert blended.shape == paste.shape
+        assert np.all(np.asarray(blended) >= -1) and np.all(
+            np.asarray(blended) <= 1
+        )
+        assert not np.allclose(np.asarray(blended), np.asarray(paste))
