@@ -147,3 +147,52 @@ class TestWarmStart:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
         mgr.close()
+
+
+def test_donating_no_schedule_run_drops_no_metric_keys(synth_root, tmp_path):
+    """Donation guarantee: every buffered device-scalar metric — including
+    the constant-lr hyperparam, whose buffer XLA aliases in place across
+    donating steps — must survive to the JSONL flush. This is the
+    regression test for the use-after-donate lr bug that only hardware
+    caught in round 2: a donating step runs BETWEEN metric buffering and
+    the flush (log_every=2), so any metric kept as a view into the donated
+    train state would read back as 'Array has been deleted' and be dropped
+    with a warning."""
+    import json
+
+    cfg = config_lib.Config(
+        train=config_lib.TrainConfig(
+            epochs=2,
+            validate_at=10_000,
+            checkpoint_dir=str(tmp_path / "ckpt_d"),
+            sample_folder=str(tmp_path / "samples_d"),
+        )
+    )
+    model = tiny_model()
+    ds = TemporalAlignmentDataset(synth_root, "train", 4, resolution=64)
+    loader = DataLoader(ds, batch_clips=1, num_workers=2, seed=0)
+    val_ds = TemporalAlignmentDataset(synth_root, "val", 4, resolution=64)
+    val_loader = DataLoader(
+        val_ds, batch_clips=1, shuffle=False, num_workers=2
+    )
+    sample = jnp.zeros((1, 4, 64, 64, 6))
+    # constant lr (NO schedule): the aliasing case
+    state = create_train_state(model, jax.random.key(0), sample, lr=1e-3)
+    metrics_path = tmp_path / "metrics_donate.jsonl"
+    trainer = Trainer(
+        cfg, model, state, make_train_step(model, donate=True),
+        make_eval_step(model), loader, val_loader, mesh=make_mesh(data=1),
+        log_every=2, metrics_path=str(metrics_path),
+    )
+    trainer.fit(2)
+
+    records = [
+        json.loads(line) for line in metrics_path.read_text().splitlines()
+    ]
+    assert len(records) >= 4
+    for r in records:
+        for k in ("loss", "mse", "latent", "lr"):
+            assert k in r, f"metric '{k}' dropped from record {r}"
+            assert np.isfinite(r[k]), f"metric '{k}' not finite: {r}"
+    # the writer never hit the unreadable-scalar fallback
+    assert trainer.metrics_writer._warned == set()
