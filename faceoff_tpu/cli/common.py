@@ -26,6 +26,10 @@ def add_model_flags(p) -> None:
     g.add_argument("--n_embed", type=int, default=512)
     g.add_argument("--no_pallas", action="store_true",
                    help="use the pure-XLA VQ path even on TPU")
+    g.add_argument("--remat", action="store_true",
+                   help="rematerialize enc/dec activations in the backward "
+                        "(less HBM traffic, more recompute); checkpoints "
+                        "are interchangeable with remat off")
 
 
 def add_multihost_flags(p) -> None:
@@ -73,4 +77,5 @@ def build_vqvae(args, in_channels: int = 6) -> VQVAE:
         n_embed=args.n_embed,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=on_tpu and not args.no_pallas,
+        remat=getattr(args, "remat", False),
     )

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpips_weights", type=str, default=None,
                    help=".npz from tools/convert_lpips.py")
     p.add_argument("--no_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize enc/dec activations in the backward "
+                        "(less HBM traffic, more recompute); checkpoints "
+                        "are interchangeable with remat off")
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(host workers only decode JPEGs)")
@@ -113,6 +117,7 @@ def build_everything(args):
             embed_dim=args.embed_dim,
             n_embed=args.n_embed,
             commitment_beta=args.commitment_beta,
+            remat=args.remat,
         ),
         data=config_lib.DataConfig(
             data_root=args.data_root,
@@ -157,6 +162,7 @@ def build_everything(args):
         commitment_beta=cfg.model.commitment_beta,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=cfg.model.use_pallas_vq and on_tpu,
+        remat=cfg.model.remat,
     )
 
     train_ds = TemporalAlignmentDataset(

@@ -32,6 +32,9 @@ class ModelConfig:
     vq_decay: float = 0.99
     vq_eps: float = 1e-5
     commitment_beta: float = 1.0  # scales the commitment (latent) term
+    # backward-pass rematerialization of enc/dec activations (HBM traffic
+    # vs recompute); pure execution-plan change, checkpoint-compatible
+    remat: bool = False
     temporal_postnet_layers: int = 3  # Conv3D stack depth per level
     temporal_kernel: int = 3
     use_pallas_vq: bool = True

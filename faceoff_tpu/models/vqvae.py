@@ -220,20 +220,28 @@ class VQVAE(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    # rematerialize encoder/decoder/postnet activations in the backward
+    # pass: trades recompute FLOPs for HBM traffic — a win when the train
+    # step is memory-bound (BENCHMARKS.md roofline). Param structure is
+    # unchanged, so checkpoints are interchangeable with remat off.
+    remat: bool = False
 
     def setup(self):
         out_ch = self.out_channels or self.in_channels
         d = self.dtype
-        self.enc_b = Encoder(
+        Enc = nn.remat(Encoder) if self.remat else Encoder
+        Dec = nn.remat(Decoder) if self.remat else Decoder
+        Post = nn.remat(TemporalPostnet) if self.remat else TemporalPostnet
+        self.enc_b = Enc(
             self.channel, self.n_res_block, self.n_res_channel, 4, dtype=d
         )
-        self.enc_t = Encoder(
+        self.enc_t = Enc(
             self.channel, self.n_res_block, self.n_res_channel, 2, dtype=d
         )
-        self.postnet_b = TemporalPostnet(
+        self.postnet_b = Post(
             self.channel, self.temporal_postnet_layers, self.temporal_kernel, dtype=d
         )
-        self.postnet_t = TemporalPostnet(
+        self.postnet_t = Post(
             self.channel, self.temporal_postnet_layers, self.temporal_kernel, dtype=d
         )
         self.quantize_conv_t = nn.Conv(self.embed_dim, (1, 1), dtype=d)
@@ -248,14 +256,14 @@ class VQVAE(nn.Module):
         )
         self.quantize_t = EmaQuantizer(**vq_kwargs)
         self.quantize_b = EmaQuantizer(**vq_kwargs)
-        self.dec_t = Decoder(
+        self.dec_t = Dec(
             self.embed_dim, self.channel, self.n_res_block, self.n_res_channel,
             2, dtype=d,
         )
         self.upsample_t = nn.ConvTranspose(
             self.embed_dim, (4, 4), strides=(2, 2), padding="SAME", dtype=d
         )
-        self.dec = Decoder(
+        self.dec = Dec(
             out_ch, self.channel, self.n_res_block, self.n_res_channel, 4, dtype=d
         )
 

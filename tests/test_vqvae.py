@@ -177,3 +177,37 @@ def test_revive_codes_restores_dead_entries():
     np.testing.assert_array_equal(
         np.asarray(new_cb.embed[:, 16:]), np.asarray(cb.embed[:, 16:])
     )
+
+
+def test_remat_parity():
+    """remat=True is a pure execution-plan change: identical param
+    structure, outputs, and gradients (so checkpoints are interchangeable
+    and the trainer's --remat flag cannot alter training math)."""
+    import jax
+    import numpy as np
+
+    kw = dict(in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+              embed_dim=8, n_embed=32, dtype=jnp.float32)
+    x = jax.random.uniform(
+        jax.random.key(0), (1, 4, 32, 32, 6), minval=-1, maxval=1
+    )
+    m0, m1 = VQVAE(**kw), VQVAE(remat=True, **kw)
+    v0 = m0.init(jax.random.key(1), x, train=False)
+    v1 = m1.init(jax.random.key(1), x, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    d0, _ = m0.apply(v0, x, train=False)
+    d1, _ = m1.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+
+    def loss(params, model):
+        out, lat = model.apply(
+            {"params": params, "vq": v0["vq"]}, x, train=False
+        )
+        return jnp.mean(out ** 2) + lat
+
+    g0 = jax.grad(loss)(v0["params"], m0)
+    g1 = jax.grad(loss)(v0["params"], m1)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
