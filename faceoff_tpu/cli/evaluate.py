@@ -39,6 +39,13 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=16)
     p.add_argument("--lpips_weights", default=None)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--naive_baseline", choices=["paste", "poisson"],
+                   default=None,
+                   help="with --crossid: also report Fréchet distances for "
+                        "the NAIVE blended composite (hard paste or poisson "
+                        "blend, reference face_translation_videos3_utils.py"
+                        ":184-190) — quantifies how much the model improves "
+                        "over the crude blend")
     p.add_argument("--crossid", action="store_true",
                    help="cross-identity evaluation: swapped clips have no "
                         "pixel ground truth (the reference can only eyeball "
@@ -77,13 +84,14 @@ def main(argv=None):
     ds = TemporalAlignmentDataset(
         args.data_root, "val", args.frames, resolution=args.size,
         cross_identity=args.crossid,
+        naive_blend=(args.naive_baseline or "") if args.crossid else "",
     )
     loader = DataLoader(
         ds, batch_clips=1, shuffle=False, num_workers=args.num_workers
     )
 
     reports = []
-    preds, reals = [], []
+    preds, reals, naives = [], [], []
     for i, batch in enumerate(loader):
         if i >= args.max_batches:
             break
@@ -97,6 +105,8 @@ def main(argv=None):
         if args.crossid:
             preds.append(np.asarray(out))
             reals.append(np.asarray(batch["gt"]))
+            if "naive" in batch:
+                naives.append(np.asarray(batch["naive"]))
             continue
         rep = evaluate_reconstruction(
             out, jnp.asarray(batch["gt"]),
@@ -116,6 +126,15 @@ def main(argv=None):
             jnp.asarray(np.concatenate(preds)),
         )
         summary = {k: round(float(v), 5) for k, v in vals.items()}
+        if naives:
+            nvals = fd(
+                jnp.asarray(np.concatenate(reals)),
+                jnp.asarray(np.concatenate(naives)),
+            )
+            summary.update({
+                f"{k}_naive_{args.naive_baseline}": round(float(v), 5)
+                for k, v in nvals.items()
+            })
         if args.lpips_weights is None:
             # random-VGG extractor: relative tracking only
             summary = {f"{k}_random_vgg": v for k, v in summary.items()}

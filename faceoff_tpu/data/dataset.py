@@ -178,6 +178,7 @@ class TemporalAlignmentDataset:
         use_bb_mask: bool = False,
         exclude_list: Optional[str] = None,
         alignment: bool = False,
+        naive_blend: str = "",
     ):
         self.mode = mode
         # alignment-regression items (reference dataset.py:377-397):
@@ -194,6 +195,12 @@ class TemporalAlignmentDataset:
         self.use_bb_mask = use_bb_mask
         # cross-id disables colour jitter (reference dataset.py:227-228)
         self.color_jitter_type = "" if cross_identity else color_jitter_type
+        # '', 'paste' or 'poisson': cross-id items also return the naive
+        # blended composite baseline ('combined', reference
+        # face_translation_videos3_utils.py:184-190) as a 'naive' stream
+        if naive_blend not in ("", "paste", "poisson"):
+            raise ValueError(f"unknown naive_blend '{naive_blend}'")
+        self.naive_blend = naive_blend
 
         self.videos = list_videos(root, min_landmark_files, exclude_list)
         if not self.videos:
@@ -345,24 +352,31 @@ class TemporalAlignmentDataset:
                 w.append(w[-1])
 
         sources, target_bgs, targets, src_imgs = [], [], [], []
+        naives = []
         for sp, tp in zip(src_w, tgt_w):
             s_img, s_lms = load_frame(sp, self.resolution)
             t_img, t_lms = load_frame(tp, self.resolution)
             out = geometry.generate_warped_image(
                 s_lms, t_lms, s_img, t_img,
                 enlargement=self.mask_enlargement,
+                poisson=(self.naive_blend == "poisson"),
             )
             sources.append(normalize(out["source_face_transformed"]))
             targets.append(normalize(out["target_image"]))
             target_bgs.append(normalize(out["target_without_face_features"]))
             src_imgs.append(normalize(out["source_image"]))
+            if self.naive_blend:
+                naives.append(normalize(out["combined"]))
 
-        return {
+        item = {
             "source": np.stack(sources),
             "background": np.stack(target_bgs),
             "gt": np.stack(targets),
             "source_original": np.stack(src_imgs),
         }
+        if self.naive_blend:
+            item["naive"] = np.stack(naives)
+        return item
 
     # -- dispatch (reference dataset.py:280-292) -------------------------
 

@@ -135,6 +135,8 @@ def run_validation(
         }
         if "source_original" in extra:
             saves["source_original"] = extra["source_original"]
+        if "naive" in extra:  # naive blended baseline (dataset naive_blend)
+            saves["naive"] = extra["naive"]
         if is_primary():
             for name, clip in saves.items():
                 frames = [denormalize(f) for f in clip[0]]

@@ -176,6 +176,32 @@ class TestDataset:
         item = ds.get_item(0, np.random.default_rng(0))
         assert item["source"].shape == (3, 128, 128, 3)
         assert "source_original" in item
+        assert "naive" not in item  # off by default
+
+    def test_cross_identity_naive_blend_stream(self, synth_root):
+        """naive_blend='paste'/'poisson' adds the naive composite baseline
+        stream to cross-id items (reference
+        face_translation_videos3_utils.py:184-190), and the two blends
+        differ."""
+        items = {}
+        for blend in ("paste", "poisson"):
+            ds = TemporalAlignmentDataset(
+                synth_root, "val", 2, resolution=128, cross_identity=True,
+                naive_blend=blend,
+            )
+            items[blend] = ds.get_item(0, np.random.default_rng(0))
+        for blend, item in items.items():
+            assert item["naive"].shape == (2, 128, 128, 3)
+            assert item["naive"].min() >= -1 and item["naive"].max() <= 1
+        assert not np.allclose(items["paste"]["naive"],
+                               items["poisson"]["naive"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            TemporalAlignmentDataset(
+                synth_root, "val", 2, cross_identity=True,
+                naive_blend="bogus",
+            )
 
     def test_alignment_item(self, synth_root):
         ds = TemporalAlignmentDataset(synth_root, "train", 3, resolution=128)
