@@ -378,12 +378,12 @@ def bench_stream(batch: int = 1):
     )
 
 
-def main(batch_clips: int = 4, remat: bool = False):
-    """The headline metric. batch_clips=4 is the measured best per-chip
-    operating point on a v5e (BENCHMARKS.md: the HBM-bound step amortizes
-    fixed per-dispatch work over more clips; b1 389.6 -> b4 ~438 f/s);
-    batch 1 remains reachable via --batch 1 for the reference-shaped
-    comparison."""
+def main(batch_clips: int = 16, remat: bool = False):
+    """The headline metric. batch_clips=16 is the measured best per-chip
+    operating point on a v5e (BENCHMARKS.md round-3 sweep: 386 b1 ->
+    441 b4 -> 464 b8 -> 620 b16 -> 528 b32 f/s; the larger folded frame
+    batch tiles the MXU better until b32 hits HBM pressure); batch 1
+    remains reachable via --batch 1 for the reference-shaped comparison."""
     from faceoff_tpu.models import VQVAE
     from faceoff_tpu.models.lpips import init_lpips
     from faceoff_tpu.train import create_train_state, make_train_step
@@ -464,7 +464,7 @@ if __name__ == "__main__":
              "pair-scan path)",
     )
     ap.add_argument("--batch", type=int, default=None,
-                    help="clips per step (step mode default 4 — the "
+                    help="clips per step (step mode default 16 — the "
                          "measured best per-chip operating point; e2e/"
                          "stream/infer modes default 1)")
     ap.add_argument("--scan", type=int, default=0,
@@ -475,7 +475,7 @@ if __name__ == "__main__":
     cli = ap.parse_args()
     mode = cli.mode
     if mode == "step":
-        main(batch_clips=cli.batch if cli.batch else 4, remat=cli.remat)
+        main(batch_clips=cli.batch if cli.batch else 16, remat=cli.remat)
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":
