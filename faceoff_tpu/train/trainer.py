@@ -193,6 +193,7 @@ class Trainer:
             cfg.train.checkpoint_dir, keep=cfg.train.keep_checkpoints
         )
         self.global_step = 0
+        self._last_saved_step = -1
         # device-side input pipeline: prepare_fn(key, frames, landmarks)
         # turns a raw uint8 batch into the model batch on-device
         self.prepare_fn = prepare_fn
@@ -381,7 +382,10 @@ class Trainer:
         # internal cross-process sync would deadlock a primary-only call
         # (proven by the two-process CLI test); orbax itself writes
         # replicated data from process 0 only
+        if self.global_step == self._last_saved_step:
+            return  # already checkpointed at this step (validation/preempt)
         self.ckpt.save(self.global_step, self.state)
+        self._last_saved_step = self.global_step
 
     def fit(self, epochs: Optional[int] = None):
         n = epochs if epochs is not None else self.cfg.train.epochs
@@ -390,6 +394,11 @@ class Trainer:
                 self.train_epoch(epoch)
                 if self.preemption.should_stop:
                     break
+            # final checkpoint: a run whose length is not a multiple of the
+            # validation cadence must not lose its tail (caught by the
+            # round-3 quality-run smoke — short runs saved NOTHING)
+            if self.global_step > 0:
+                self._save()
         finally:
             self.profiler.close()
             if self.metrics_writer is not None:

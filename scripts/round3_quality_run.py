@@ -27,13 +27,22 @@ import sys
 import time
 
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if REPO not in sys.path:  # script lives in scripts/, package in the root
+    sys.path.insert(0, REPO)
 ART = osp.join(REPO, "artifacts", "round3")
 WORK = os.environ.get("R3_WORK", "/tmp/r3_quality")
 DATA = osp.join(WORK, "ds")
-N_VIDEOS, N_FRAMES, SIZE = 24, 48, 256
-STAGE_A_EPOCHS = 250          # 24 steps/epoch at batch 1 -> 6000 steps
-STAGE_B_STEPS = 1200
-ADV_START = 200
+# env overrides let a CPU smoke test drive the same orchestration
+N_VIDEOS = int(os.environ.get("R3_VIDEOS", 24))
+N_FRAMES = int(os.environ.get("R3_FRAMES", 48))
+SIZE = int(os.environ.get("R3_SIZE", 256))
+STAGE_A_EPOCHS = int(os.environ.get("R3_EPOCHS", 250))  # x24 steps/epoch -> 6000
+STAGE_B_STEPS = int(os.environ.get("R3_GAN_STEPS", 1200))
+ADV_START = int(os.environ.get("R3_ADV_START", 200))
+VAL_AT_A = int(os.environ.get("R3_VAL_AT_A", 500))
+VAL_AT_B = int(os.environ.get("R3_VAL_AT_B", 200))
+FRAMES_B = int(os.environ.get("R3_FRAMES_B", 16))
+EXTRA_MODEL = os.environ.get("R3_MODEL_FLAGS", "").split()
 
 
 def run(args, tag):
@@ -95,9 +104,9 @@ def main():
             "faceoff_tpu.cli.train_faceoff_perceptual",
             "--data_root", DATA, "--size", str(SIZE),
             "--epoch", str(STAGE_A_EPOCHS),
-            "--train_frames", "8", "--val_frames", "16",
-            "--validate_at", "500", "--num_workers", "8",
-            "--sched", "cycle",
+            "--train_frames", "8", "--val_frames", str(FRAMES_B),
+            "--validate_at", str(VAL_AT_A), "--num_workers", "8",
+            "--sched", "cycle", *EXTRA_MODEL,
             "--metrics_path", m_a,
             "--sample_folder", osp.join(WORK, "samples_a"),
             "--checkpoint_dir", ck_a + "_tmp",
@@ -108,13 +117,14 @@ def main():
 
     report["stageA_eval"] = last_json(run([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
-        "--checkpoint_dir", ck_a, "--size", str(SIZE), "--frames", "16",
-        "--max_batches", "12",
+        "--checkpoint_dir", ck_a, "--size", str(SIZE),
+        "--frames", str(FRAMES_B), "--max_batches", "12", *EXTRA_MODEL,
     ], "stageA_eval"))
     report["stageA_crossid_fd"] = last_json(run([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
-        "--checkpoint_dir", ck_a, "--size", str(SIZE), "--frames", "16",
-        "--max_batches", "12", "--crossid", "--naive_baseline", "paste",
+        "--checkpoint_dir", ck_a, "--size", str(SIZE),
+        "--frames", str(FRAMES_B), "--max_batches", "12", "--crossid",
+        "--naive_baseline", "paste", *EXTRA_MODEL,
     ], "stageA_crossid"))
 
     # ---- stage B: adversarial fine-tune (mocoganhd + warmup)
@@ -123,11 +133,13 @@ def main():
             "faceoff_tpu.cli.train_faceoff_gan",
             "--data_root", DATA, "--gan", "mocoganhd",
             "--size", str(SIZE),
-            "--train_frames", "16", "--sample_frames", "16",
-            "--val_frames", "16", "--val_batches", "4",
+            "--train_frames", str(FRAMES_B),
+            "--sample_frames", str(FRAMES_B),
+            "--val_frames", str(FRAMES_B), "--val_batches", "4",
             "--steps", str(STAGE_B_STEPS),
             "--adversarial_start", str(ADV_START),
-            "--validate_at", "200", "--num_workers", "8",
+            "--validate_at", str(VAL_AT_B), "--num_workers", "8",
+            *EXTRA_MODEL,
             "--ckpt", "latest", "--gen_checkpoint_dir", ck_a,
             "--metrics_path", m_b,
             "--sample_folder", osp.join(WORK, "samples_b"),
@@ -136,13 +148,14 @@ def main():
 
     report["stageB_eval"] = last_json(run([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
-        "--checkpoint_dir", ck_b, "--size", str(SIZE), "--frames", "16",
-        "--max_batches", "12",
+        "--checkpoint_dir", ck_b, "--size", str(SIZE),
+        "--frames", str(FRAMES_B), "--max_batches", "12", *EXTRA_MODEL,
     ], "stageB_eval"))
     report["stageB_crossid_fd"] = last_json(run([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
-        "--checkpoint_dir", ck_b, "--size", str(SIZE), "--frames", "16",
-        "--max_batches", "12", "--crossid", "--naive_baseline", "paste",
+        "--checkpoint_dir", ck_b, "--size", str(SIZE),
+        "--frames", str(FRAMES_B), "--max_batches", "12", "--crossid",
+        "--naive_baseline", "paste", *EXTRA_MODEL,
     ], "stageB_crossid"))
 
     # ---- multi-pair cross-identity swap grid from the final model
@@ -155,8 +168,9 @@ def main():
             "--source", osp.join(DATA, f"video_{si:03d}"),
             "--target", osp.join(DATA, f"video_{ti:03d}"),
             "--checkpoint_dir", ck_b, "--out", out_mp4,
-            "--size", str(SIZE), "--chunk", "16", "--max_frames", "16",
-            "--save_streams",
+            "--size", str(SIZE), "--chunk", str(FRAMES_B),
+            "--max_frames", str(FRAMES_B), "--save_streams",
+            *EXTRA_MODEL,
         ], f"swap_{si}_{ti}")
         grid_rows.append((si, ti, out_mp4))
 

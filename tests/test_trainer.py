@@ -196,3 +196,17 @@ def test_donating_no_schedule_run_drops_no_metric_keys(synth_root, tmp_path):
             assert np.isfinite(r[k]), f"metric '{k}' not finite: {r}"
     # the writer never hit the unreadable-scalar fallback
     assert trainer.metrics_writer._warned == set()
+
+
+def test_fit_saves_final_checkpoint_without_validation(synth_root, tmp_path):
+    """A run shorter than the validation cadence must still checkpoint its
+    final state (caught by the round-3 quality-run smoke: short runs saved
+    NOTHING because only validate() ever called _save)."""
+    from faceoff_tpu.io.checkpoint import CheckpointManager
+
+    trainer = build_trainer(synth_root, tmp_path)  # validate_at=10_000
+    trainer.fit(1)
+    assert trainer.global_step > 0
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = mgr.restore_weights(trainer.state)
+    assert int(restored.step) == trainer.global_step
