@@ -159,7 +159,7 @@ def main():
     ], "stageB_crossid"))
 
     # ---- multi-pair cross-identity swap grid from the final model
-    pairs = [(0, 1), (2, 3), (4, 5), (6, 7)]
+    pairs = [(i, i + 1) for i in range(0, min(8, N_VIDEOS - 1), 2)]
     grid_rows = []
     for si, ti in pairs:
         out_mp4 = osp.join(WORK, f"swap_{si}_{ti}.mp4")
