@@ -36,6 +36,15 @@ class MetricsWriter:
         self._buffer.append((step, time.time(), metrics, extra))
 
     def flush(self) -> None:
+        # start all device->host copies asynchronously first: sequential
+        # float() reads over a high-latency link cost one round trip EACH
+        for _, _, metrics, _ in self._buffer:
+            for v in metrics.values():
+                if hasattr(v, "copy_to_host_async"):
+                    try:
+                        v.copy_to_host_async()
+                    except RuntimeError:
+                        pass  # deleted buffer: the read below reports it
         for step, t, metrics, extra in self._buffer:
             record = {"step": step, "time": t, **extra}
             for k, v in metrics.items():

@@ -83,12 +83,23 @@ def make_train_step(
 
     def step_inner(state, batch, lpips_vars, key):
         if prepare_fn is not None:
+            # per-step randomness derives from a CONSTANT base key folded
+            # with the step counter INSIDE the program: the host passes the
+            # same device key every step, so no per-step key-construction
+            # dispatch rides the (possibly high-latency) device link
+            key = jax.random.fold_in(key, state.step)
             batch = prepare_fn(key, batch["frames"], batch["landmarks"])
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_vq, metrics)), grads = grad_fn(
             state.params, state.vq, batch, lpips_vars
         )
         new_state = state.apply_gradients(grads, new_vq)
+        # lr as a step OUTPUT (fresh buffer): logging needs it, and reading
+        # it from the state on the host costs an extra dispatch per step
+        # (plus the use-after-donate alias hazard the +0 copy papered over)
+        hp = getattr(new_state.opt_state, "hyperparams", None)
+        if hp is not None and "learning_rate" in hp:
+            metrics["lr"] = hp["learning_rate"] + 0
         return new_state, metrics
 
     @partial(jax.jit, donate_argnums=donate_argnums)

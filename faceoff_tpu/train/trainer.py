@@ -54,8 +54,13 @@ class MetricLogger:
         self._pending.append((metrics, frames))
 
     def materialize(self):
-        """Read all pending device scalars to host (cheap once the steps
-        have actually finished executing)."""
+        """Read all pending device scalars to host. Start every transfer
+        asynchronously FIRST: on a high-latency device link, N sequential
+        float() reads cost N round trips, while async-then-read costs ~1."""
+        for metrics, _ in self._pending:
+            for v in metrics.values():
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
         for metrics, frames in self._pending:
             self.mse_sum += float(metrics["mse"]) * frames
             self.mse_n += frames
@@ -194,6 +199,9 @@ class Trainer:
         )
         self.global_step = 0
         self._last_saved_step = -1
+        # constant per-run base key (see train_epoch: folded with
+        # state.step inside the jitted program)
+        self._base_key = jax.random.key(cfg.train.seed * 1_000_003)
         # device-side input pipeline: prepare_fn(key, frames, landmarks)
         # turns a raw uint8 batch into the model batch on-device
         self.prepare_fn = prepare_fn
@@ -284,13 +292,16 @@ class Trainer:
                 frames = first.shape[0] * first.shape[1]
             # with a device pipeline the raw batch + key go straight into
             # the fused train step (input prep and optimization are one
-            # XLA program)
-            base = jax.random.key(
-                self.cfg.train.seed * 1_000_003 + self.global_step
-            )
-            key = jax.random.split(base, n_steps) if n_steps > 1 else (
-                base if self.prepare_fn is not None else None
-            )
+            # XLA program). The SAME base key is passed every step — the
+            # step folds in state.step on device, so per-step key
+            # construction costs no extra dispatch on the device link.
+            if n_steps > 1:
+                base = jax.random.key(
+                    self.cfg.train.seed * 1_000_003 + self.global_step
+                )
+                key = jax.random.split(base, n_steps)
+            else:
+                key = self._base_key if self.prepare_fn is not None else None
             self.state, metrics = self.train_step(
                 self.state, batch, self.lpips_vars, key
             )
@@ -299,22 +310,28 @@ class Trainer:
             self.profiler.step(self.global_step)
 
             if self.metrics_writer is not None:
-                # lr rides along as a device scalar; floats happen at
-                # flush. COPY it (+0): the raw value is a view into the
-                # train state, whose buffer the next donating step
-                # deletes — with a constant lr XLA aliases it in place
-                # and the buffered reference dies before flush (caught
-                # on hardware; schedules recompute lr so their buffer
-                # happened to be un-aliasable)
-                lr = _raw_lr(self.state)
-                if isinstance(lr, jax.Array):
-                    lr = lr + 0
+                if "lr" in metrics:
+                    # the jitted step emits lr as a fresh output buffer —
+                    # no extra dispatch, no donated-state alias hazard
+                    record = metrics
+                else:
+                    # custom steps without the lr output: capture from the
+                    # state, COPYING (+0) — the raw value is a view into
+                    # the train state, whose buffer the next donating step
+                    # deletes (caught on hardware)
+                    lr = _raw_lr(self.state)
+                    if isinstance(lr, jax.Array):
+                        lr = lr + 0
+                    record = {**metrics, "lr": lr}
                 self.metrics_writer.write(
-                    self.global_step, {**metrics, "lr": lr}, epoch=epoch,
+                    self.global_step, record, epoch=epoch,
                 )
 
             if is_primary() and i % self.log_every == 0:
-                lr = current_lr(self.state)
+                lr = (
+                    float(metrics["lr"]) if "lr" in metrics
+                    else current_lr(self.state)
+                )
                 dt = time.time() - t0
                 fps = frames * (i + 1) / max(dt, 1e-9)
                 print(

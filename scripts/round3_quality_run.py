@@ -43,6 +43,10 @@ VAL_AT_A = int(os.environ.get("R3_VAL_AT_A", 500))
 VAL_AT_B = int(os.environ.get("R3_VAL_AT_B", 200))
 FRAMES_B = int(os.environ.get("R3_FRAMES_B", 16))
 EXTRA_MODEL = os.environ.get("R3_MODEL_FLAGS", "").split()
+# the on-device input pipeline is the intended TPU operating point (the
+# host cv2 geometry path is ~20x slower per step); overridable for smokes
+A_FLAGS = os.environ.get("R3_A_FLAGS", "--device_pipeline").split()
+B_FLAGS = os.environ.get("R3_B_FLAGS", "--device_pipeline").split()
 
 
 def run(args, tag):
@@ -106,7 +110,7 @@ def main():
             "--epoch", str(STAGE_A_EPOCHS),
             "--train_frames", "8", "--val_frames", str(FRAMES_B),
             "--validate_at", str(VAL_AT_A), "--num_workers", "8",
-            "--sched", "cycle", *EXTRA_MODEL,
+            "--sched", "cycle", *EXTRA_MODEL, *A_FLAGS,
             "--metrics_path", m_a,
             "--sample_folder", osp.join(WORK, "samples_a"),
             "--checkpoint_dir", ck_a + "_tmp",
@@ -139,7 +143,7 @@ def main():
             "--steps", str(STAGE_B_STEPS),
             "--adversarial_start", str(ADV_START),
             "--validate_at", str(VAL_AT_B), "--num_workers", "8",
-            *EXTRA_MODEL,
+            *EXTRA_MODEL, *B_FLAGS,
             "--ckpt", "latest", "--gen_checkpoint_dir", ck_a,
             "--metrics_path", m_b,
             "--sample_folder", osp.join(WORK, "samples_b"),
