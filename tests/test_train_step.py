@@ -56,6 +56,30 @@ class TestTrainStep:
         assert int(state.step) == 2
         assert np.isfinite(current_lr(state))
 
+    def test_step_emits_lr_metric_tracking_schedule(self):
+        """The jitted step outputs lr as a fresh metric buffer (so logging
+        never reads — or aliases — the donated train state). The emitted
+        value must track the schedule exactly: after step k the state holds
+        the lr used at iteration k-1 (schedule evaluated at count k-1)."""
+        from faceoff_tpu.train.schedule import make_schedule
+
+        model = tiny_model()
+        batch = make_batch(jax.random.key(0))
+        n_iter = 50
+        tx = make_optimizer(1e-3, "cycle", n_iter=n_iter)
+        sched = make_schedule("cycle", 1e-3, n_iter)
+        state = create_train_state(
+            model, jax.random.key(1), batch["input"], tx=tx
+        )
+        step = make_train_step(model, donate=False)
+        for k in range(3):
+            state, metrics = step(state, batch)
+            assert "lr" in metrics
+            np.testing.assert_allclose(
+                float(metrics["lr"]), float(sched(k)), rtol=1e-6,
+                err_msg=f"step {k}",
+            )
+
     def test_eval_step(self):
         model = tiny_model()
         batch = make_batch(jax.random.key(0))
