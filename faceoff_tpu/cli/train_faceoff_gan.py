@@ -420,6 +420,13 @@ def main(argv=None):
     acc = []  # microbatch accumulator for steps_per_call > 1
     last_log = last_val = step0
     stacked_sharding = NamedSharding(mesh, P(None, "data"))
+    # ONE constant base key for the whole run: the jitted steps fold in the
+    # on-device generator step counter, so per-step host key construction
+    # (a device dispatch each on a tunneled accelerator) is unnecessary
+    base_key = jax.random.key(args.seed * 100003)
+    base_keys = (
+        jax.random.split(base_key, spc) if spc > 1 else None
+    )
     for epoch in range(args.epoch):
         for batch in loader:
             batch = {
@@ -430,9 +437,8 @@ def main(argv=None):
                 if step_count % 2 == 1 and not acc:
                     # align to the gen/disc pair boundary (odd resume):
                     # one plain disc step, then scan pairs
-                    key = jax.random.key(args.seed * 100003 + step_count)
                     state, m = run_step(
-                        state, shard_batch(batch, mesh), step_count, key
+                        state, shard_batch(batch, mesh), step_count, base_key
                     )
                     step_count += 1
                     pending.append((step_count, epoch, m))
@@ -450,17 +456,13 @@ def main(argv=None):
                         lambda x: stage_global(x, stacked_sharding),
                         stacked,
                     )
-                    keys = jnp.stack([
-                        jax.random.key(args.seed * 100003 + step_count + j)
-                        for j in range(spc)
-                    ])
                     adv = (
                         1.0
                         if (step_count - step0) >= args.adversarial_start
                         else 0.0
                     )
                     state, seq_m = multi_step(
-                        state, sharded, keys, lpips_vars, adv
+                        state, sharded, base_keys, lpips_vars, adv
                     )
                     for j in range(spc):
                         part = "gen" if j % 2 == 0 else "disc"
@@ -470,14 +472,20 @@ def main(argv=None):
                         step_count += 1
                         pending.append((step_count, epoch, m_j))
             else:
-                key = jax.random.key(args.seed * 100003 + step_count)
                 batch = shard_batch(batch, mesh)
-                state, m = run_step(state, batch, step_count, key)
+                state, m = run_step(state, batch, step_count, base_key)
                 step_count += 1
                 pending.append((step_count, epoch, m))
             log_now = step_count - last_log >= args.log_every
             if log_now:
                 last_log = step_count
+                # start every device->host copy asynchronously first: on a
+                # high-latency link N sequential float() reads cost N round
+                # trips, async-then-read costs ~1
+                for _, _, pm in pending:
+                    for v in pm.values():
+                        if hasattr(v, "copy_to_host_async"):
+                            v.copy_to_host_async()
                 for s, e, pm in pending:
                     vals = {k: float(v) for k, v in pm.items()}
                     if metrics_writer is not None:

@@ -163,6 +163,11 @@ def make_gan_steps(
         gating, which the reference's mocoganhd trainers lack: fresh
         discriminators at full weight overwhelm a warm-started
         generator's reconstruction within a few hundred steps)."""
+        # per-step randomness = caller key folded with (stream tag, the
+        # on-device generator step counter): the host can pass ONE constant
+        # key for the whole run — no per-step key-construction dispatch on
+        # the device link — and resume reproduces the stream exactly
+        key = jax.random.fold_in(jax.random.fold_in(key, 0), state.gen.step)
         batch = maybe_prepare(batch, key)
         t = batch["gt"].shape[1]
         start, frame_id, flip = rand_bits(key, t)
@@ -235,6 +240,10 @@ def make_gan_steps(
     def disc_step(
         state: GANTrainState, batch: Dict[str, jnp.ndarray], key: jax.Array
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        # stream tag 1 (vs the gen step's 0): a gen/disc pair shares
+        # state.gen.step until the next gen update, so the tag keeps the
+        # two streams disjoint under a constant caller key
+        key = jax.random.fold_in(jax.random.fold_in(key, 1), state.gen.step)
         batch = maybe_prepare(batch, key)
         t = batch["gt"].shape[1]
         start, frame_id, flip = rand_bits(key, t)

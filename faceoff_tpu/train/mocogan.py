@@ -119,6 +119,10 @@ def make_mocogan_step(
         state: MocoganState, batch: Dict[str, jnp.ndarray], key: jax.Array,
         lpips_vars: Any = None,
     ) -> Tuple[MocoganState, Dict[str, jnp.ndarray]]:
+        # fold the on-device generator step counter into the caller's key:
+        # the host may pass ONE constant key for the whole run (no per-step
+        # key-construction dispatch) and resume reproduces the stream
+        key = jax.random.fold_in(key, state.gen.step)
         # one noise stream per discriminator application site (inactive
         # unless the discriminators were built with use_noise=True)
         nk = jax.random.split(key, 6)
