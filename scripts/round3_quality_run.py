@@ -49,13 +49,24 @@ A_FLAGS = os.environ.get("R3_A_FLAGS", "--device_pipeline").split()
 B_FLAGS = os.environ.get("R3_B_FLAGS", "--device_pipeline").split()
 
 
-def run(args, tag):
+def run(args, tag, timeout=2400):
+    """timeout guards against a wedged TPU-relay connection (observed
+    once: the client's TCP link died mid-run and jax hung forever; a
+    fresh process reconnects fine)."""
     print(f"[{tag}] $ {' '.join(args)}", flush=True)
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m"] + args, cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m"] + args, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired as e:
+        log = osp.join(ART, f"{tag}.log")
+        with open(log, "w") as f:
+            f.write((e.stdout or b"").decode() if isinstance(e.stdout, bytes)
+                    else (e.stdout or ""))
+        raise SystemExit(f"{tag} timed out after {timeout}s (log: {log})")
     log = osp.join(ART, f"{tag}.log")
     with open(log, "w") as f:
         f.write(proc.stdout)
@@ -114,7 +125,7 @@ def main():
             "--metrics_path", m_a,
             "--sample_folder", osp.join(WORK, "samples_a"),
             "--checkpoint_dir", ck_a + "_tmp",
-        ], "stageA_train")
+        ], "stageA_train", timeout=4 * 3600)
         # run dirs get a seed suffix; normalize to a stable name
         cand = [d for d in os.listdir(WORK) if d.startswith("ckpt_a_tmp")]
         os.rename(osp.join(WORK, sorted(cand)[-1]), ck_a)
@@ -148,7 +159,7 @@ def main():
             "--metrics_path", m_b,
             "--sample_folder", osp.join(WORK, "samples_b"),
             "--checkpoint_dir", ck_b,
-        ], "stageB_train")
+        ], "stageB_train", timeout=4 * 3600)
 
     report["stageB_eval"] = last_json(run([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
