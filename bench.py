@@ -378,6 +378,59 @@ def bench_stream(batch: int = 1):
     )
 
 
+def bench_swap_session():
+    """Full online SwapSession latency: HOST (frame, landmarks) pairs in,
+    swapped frame out — covers the host->device transfer path (src+tgt
+    stacked into one uint8 put + one landmark put per frame) fused with
+    the cross-identity geometry and the streaming VQVAE forward. This is
+    the end-user live-serving number; `--mode stream` measures only the
+    device-side frame-step."""
+    import numpy as np
+
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.serve import SwapSession
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 4, HW, HW, 6)), train=False
+    )
+    sess = SwapSession(model, variables, height=HW, width=HW)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (HW, HW, 3), dtype=np.uint8)
+    # plausible in-frame landmarks (the geometry only needs a sane hull)
+    lms = (rng.uniform(0.3, 0.7, (68, 2)) * HW).astype(np.float32)
+
+    for _ in range(sess.delay + 2):  # compile + warm the pipeline
+        out = sess.push(frame, lms, frame, lms)
+    np.asarray(out)
+
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = sess.push(frame, lms, frame, lms)
+        np.asarray(out)  # device->host read per frame: real latency
+        lat.append(time.perf_counter() - t0)
+    ms = sorted(x * 1e3 for x in lat)
+    p50 = ms[len(ms) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "swap_session_latency_ms_per_frame_256px",
+                "value": round(p50, 2),
+                "unit": "ms/frame (p50, host frames in)",
+                "vs_baseline": round(
+                    (1e3 / p50) / REF_FPS_PER_GPU_EST, 3
+                ),
+            }
+        )
+    )
+
+
 def main(batch_clips: int = 16, remat: bool = False):
     """The headline metric. batch_clips=16 is the measured best per-chip
     operating point on a v5e (BENCHMARKS.md round-3 sweep: 386 b1 ->
@@ -451,7 +504,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["step", "multi", "e2e", "e2e_host", "stream", "infer", "gan"],
+        choices=["step", "multi", "e2e", "e2e_host", "stream",
+                 "swap_session", "infer", "gan"],
         default="step",
         help="step: device-only train step (driver default); "
              "multi: K steps per dispatch via lax.scan; "
@@ -480,6 +534,8 @@ if __name__ == "__main__":
         bench_multi()
     elif mode == "stream":
         bench_stream(batch=cli.batch or 1)
+    elif mode == "swap_session":
+        bench_swap_session()
     elif mode == "infer":
         bench_infer(batch=cli.batch or 1)
     elif mode == "gan":

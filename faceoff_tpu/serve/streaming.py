@@ -260,8 +260,13 @@ class SwapSession:
             raise ValueError("SwapSession needs the 6-channel model")
 
         def prepare(raw):
+            # frames: (2, H, W, 3) src‖tgt stacked; lms: (2, 68, 2) — the
+            # host stacks them so ONE device transfer carries both streams
+            # (4 separate puts per frame cost 4 relay round trips on a
+            # tunneled accelerator)
+            f, l = raw["frames"], raw["lms"]
             streams = prepare_swap_batch(
-                raw["src"], raw["src_lms"], raw["tgt"], raw["tgt_lms"]
+                f[0][None], l[0][None], f[1][None], l[1][None]
             )
             return streams["input"]
 
@@ -280,11 +285,16 @@ class SwapSession:
     def push(
         self, src_frame, src_landmarks, tgt_frame, tgt_landmarks
     ) -> Optional[jnp.ndarray]:
+        import numpy as np
+
         raw = {
-            "src": jnp.asarray(src_frame)[None],
-            "src_lms": jnp.asarray(src_landmarks, jnp.float32)[None],
-            "tgt": jnp.asarray(tgt_frame)[None],
-            "tgt_lms": jnp.asarray(tgt_landmarks, jnp.float32)[None],
+            "frames": np.stack(
+                [np.asarray(src_frame), np.asarray(tgt_frame)]
+            ),
+            "lms": np.stack([
+                np.asarray(src_landmarks, np.float32),
+                np.asarray(tgt_landmarks, np.float32),
+            ]),
         }
         out = self._swapper.push(raw)
         if out is None:
