@@ -29,7 +29,7 @@ import time
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 if REPO not in sys.path:  # script lives in scripts/, package in the root
     sys.path.insert(0, REPO)
-ART = osp.join(REPO, "artifacts", "round3")
+ART = os.environ.get("R3_ART", osp.join(REPO, "artifacts", "round3"))
 WORK = os.environ.get("R3_WORK", "/tmp/r3_quality")
 DATA = osp.join(WORK, "ds")
 # env overrides let a CPU smoke test drive the same orchestration
@@ -49,24 +49,32 @@ A_FLAGS = os.environ.get("R3_A_FLAGS", "--device_pipeline").split()
 B_FLAGS = os.environ.get("R3_B_FLAGS", "--device_pipeline").split()
 
 
-def run(args, tag, timeout=2400):
-    """timeout guards against a wedged TPU-relay connection (observed
-    once: the client's TCP link died mid-run and jax hung forever; a
-    fresh process reconnects fine)."""
+def run(args, tag, timeout=2400, attempts=2):
+    """timeout + retry guard against a wedged TPU-relay connection
+    (observed repeatedly: a client's TCP link to the relay dies, jax
+    hangs forever with ~0% CPU; a FRESH process reconnects fine — so one
+    retry usually recovers)."""
     print(f"[{tag}] $ {' '.join(args)}", flush=True)
-    t0 = time.time()
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-m"] + args, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            timeout=timeout,
-        )
-    except subprocess.TimeoutExpired as e:
-        log = osp.join(ART, f"{tag}.log")
-        with open(log, "w") as f:
-            f.write((e.stdout or b"").decode() if isinstance(e.stdout, bytes)
-                    else (e.stdout or ""))
-        raise SystemExit(f"{tag} timed out after {timeout}s (log: {log})")
+    for attempt in range(attempts):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m"] + args, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                timeout=timeout,
+            )
+            break
+        except subprocess.TimeoutExpired as e:
+            log = osp.join(ART, f"{tag}.log")
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            with open(log, "w") as f:
+                f.write(out)
+            print(f"[{tag}] attempt {attempt + 1} timed out after "
+                  f"{timeout}s — retrying in a fresh process", flush=True)
+    else:
+        raise SystemExit(f"{tag} timed out {attempts}x (log: {log})")
     log = osp.join(ART, f"{tag}.log")
     with open(log, "w") as f:
         f.write(proc.stdout)
@@ -76,6 +84,21 @@ def run(args, tag, timeout=2400):
         print(proc.stdout[-4000:], flush=True)
         raise SystemExit(f"{tag} failed")
     return proc.stdout
+
+
+def run_json(args, tag, **kw):
+    """run() + parse the last JSON line, cached in {ART}/{tag}.json so a
+    rerun after a relay wedge skips completed evals."""
+    side = osp.join(ART, f"{tag}.json")
+    if osp.exists(side):
+        with open(side) as f:
+            res = json.load(f)
+        print(f"[{tag}] cached: {side}", flush=True)
+        return res
+    res = last_json(run(args, tag, **kw))
+    with open(side, "w") as f:
+        json.dump(res, f)
+    return res
 
 
 def last_json(text):
@@ -130,17 +153,17 @@ def main():
         cand = [d for d in os.listdir(WORK) if d.startswith("ckpt_a_tmp")]
         os.rename(osp.join(WORK, sorted(cand)[-1]), ck_a)
 
-    report["stageA_eval"] = last_json(run([
+    report["stageA_eval"] = run_json([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
         "--checkpoint_dir", ck_a, "--size", str(SIZE),
         "--frames", str(FRAMES_B), "--max_batches", "12", *EXTRA_MODEL,
-    ], "stageA_eval"))
-    report["stageA_crossid_fd"] = last_json(run([
+    ], "stageA_eval")
+    report["stageA_crossid_fd"] = run_json([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
         "--checkpoint_dir", ck_a, "--size", str(SIZE),
         "--frames", str(FRAMES_B), "--max_batches", "12", "--crossid",
         "--naive_baseline", "paste", *EXTRA_MODEL,
-    ], "stageA_crossid"))
+    ], "stageA_crossid")
 
     # ---- stage B: adversarial fine-tune (mocoganhd + warmup)
     if not osp.isdir(ck_b):
@@ -161,23 +184,28 @@ def main():
             "--checkpoint_dir", ck_b,
         ], "stageB_train", timeout=4 * 3600)
 
-    report["stageB_eval"] = last_json(run([
+    report["stageB_eval"] = run_json([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
         "--checkpoint_dir", ck_b, "--size", str(SIZE),
         "--frames", str(FRAMES_B), "--max_batches", "12", *EXTRA_MODEL,
-    ], "stageB_eval"))
-    report["stageB_crossid_fd"] = last_json(run([
+    ], "stageB_eval")
+    report["stageB_crossid_fd"] = run_json([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,
         "--checkpoint_dir", ck_b, "--size", str(SIZE),
         "--frames", str(FRAMES_B), "--max_batches", "12", "--crossid",
         "--naive_baseline", "paste", *EXTRA_MODEL,
-    ], "stageB_crossid"))
+    ], "stageB_crossid")
 
     # ---- multi-pair cross-identity swap grid from the final model
     pairs = [(i, i + 1) for i in range(0, min(8, N_VIDEOS - 1), 2)]
     grid_rows = []
     for si, ti in pairs:
         out_mp4 = osp.join(WORK, f"swap_{si}_{ti}.mp4")
+        streams = osp.splitext(out_mp4)[0] + "_composite.mp4"
+        if osp.exists(out_mp4) and osp.exists(streams):
+            print(f"[swap_{si}_{ti}] cached: {out_mp4}", flush=True)
+            grid_rows.append((si, ti, out_mp4))
+            continue
         run([
             "faceoff_tpu.cli.swap",
             "--source", osp.join(DATA, f"video_{si:03d}"),
