@@ -128,12 +128,34 @@ def build_parser():
                    help="mocogan: additive gaussian input-noise sigma for "
                         "the discriminators (reference "
                         "mocogan_discriminator.py:16-25 use_noise; 0=off)")
+    p.add_argument("--g2d_weight", type=float, default=0.25,
+                   help="mocoganhd: weight on the 2D adversarial generator "
+                        "term (reference config.py:9). At the reference "
+                        "value the adversarial terms dwarf a small recon "
+                        "loss ~80x; lower it when fine-tuning from an "
+                        "under-converged generator")
+    p.add_argument("--g3d_weight", type=float, default=0.25,
+                   help="mocoganhd: weight on the 3D adversarial generator "
+                        "term (reference config.py:10)")
+    p.add_argument("--img_disc_weight", type=float, default=0.5,
+                   help="mocogan: generator-side image-disc weight "
+                        "(reference config.py:12)")
+    p.add_argument("--vid_disc_weight", type=float, default=0.5,
+                   help="mocogan: generator-side video-disc weight "
+                        "(reference config.py:13)")
     p.add_argument("--adversarial_start", type=int, default=0,
                    help="mocoganhd: discriminator warmup — zero the "
                         "generator's adversarial terms for this many steps "
                         "of THIS run (taming-style adopt_weight gating; "
                         "fresh discriminators at full weight otherwise "
                         "wreck a warm-started generator's reconstruction)")
+    p.add_argument("--adversarial_ramp", type=int, default=0,
+                   help="mocoganhd: ramp the adversarial terms linearly "
+                        "0->1 over this many steps after "
+                        "--adversarial_start instead of switching on at "
+                        "full weight (0 = hard switch). Softens the "
+                        "post-warmup shock that can still collapse an "
+                        "under-converged generator's reconstruction")
     p.add_argument("--multihost", action="store_true",
                    help="multi-host run: jax.distributed.initialize() + "
                         "per-process train-loader sharding")
@@ -242,6 +264,14 @@ def main(argv=None):
     # build the recipe: a `run_step(state, batch, step_count, key) ->
     # (state, log line)` closure — one loop for all three adversarial
     # recipes instead of the reference's five copy-pasted trainer files
+    from faceoff_tpu.train.gan import adv_scale_schedule
+
+    def adv_scale_at(step_count):
+        return adv_scale_schedule(
+            step_count, start=args.adversarial_start,
+            ramp=args.adversarial_ramp, step0=step0,
+        )
+
     multi_step = None
     if args.gan == "mocoganhd":
         from faceoff_tpu.train.gan import (
@@ -261,6 +291,7 @@ def main(argv=None):
             sample_frames=args.sample_frames,
             perceptual_loss_weight=1.0 if args.perceptual else 0.0,
             lpips_apply=lpips_apply, prepare_fn=prepare_fn,
+            g_2d_weight=args.g2d_weight, g_3d_weight=args.g3d_weight,
         )
         gen_step, disc_step = make_gan_steps(
             model, d_img, d_3d, **step_kwargs
@@ -274,9 +305,9 @@ def main(argv=None):
             # alternate gen/disc (reference :187-190); metrics stay device
             # scalars — float() reads are deferred to the log cadence
             if step_count % 2 == 0:
-                adv = 1.0 if (step_count - step0) >= args.adversarial_start \
-                    else 0.0
-                return gen_step(state, batch, key, lpips_vars, adv)
+                return gen_step(
+                    state, batch, key, lpips_vars, adv_scale_at(step_count)
+                )
             return disc_step(state, batch, key)
 
     elif args.gan == "mocogan":
@@ -301,6 +332,8 @@ def main(argv=None):
             model, d_img, d_vid,
             perceptual_loss_weight=1.0 if args.perceptual else 0.0,
             lpips_apply=lpips_apply,
+            image_disc_weight=args.img_disc_weight,
+            video_disc_weight=args.vid_disc_weight,
         )
 
         def run_step(state, batch, step_count, key):
@@ -456,13 +489,9 @@ def main(argv=None):
                         lambda x: stage_global(x, stacked_sharding),
                         stacked,
                     )
-                    adv = (
-                        1.0
-                        if (step_count - step0) >= args.adversarial_start
-                        else 0.0
-                    )
                     state, seq_m = multi_step(
-                        state, sharded, base_keys, lpips_vars, adv
+                        state, sharded, base_keys, lpips_vars,
+                        adv_scale_at(step_count),
                     )
                     for j in range(spc):
                         part = "gen" if j % 2 == 0 else "disc"

@@ -300,3 +300,57 @@ def test_adv_scale_gates_adversarial_terms(setup):
         - (float(m_on["mse"]) + float(m_on["latent"])
            + 0.25 * float(m_on["g_2d"]) + 0.25 * float(m_on["g_3d"]))
     ) < 1e-5
+
+
+def test_custom_adversarial_weights(setup):
+    """--g2d_weight/--g3d_weight reach the compiled loss: with custom
+    weights the gen loss is recon + latent + w2d*g_2d + w3d*g_3d
+    (reference config.py:9-10 hardcodes 0.25; the CLI exposes them for
+    balancing adversarial vs reconstruction pressure)."""
+    state, batch, _, _ = setup
+    model = VQVAE(
+        in_channels=6, channel=16, n_res_block=1, n_res_channel=8,
+        embed_dim=8, n_embed=32, dtype=jnp.float32,
+    )
+    d_img = MultiscaleDiscriminator2D(ndf=8, n_layers=2, num_D=2)
+    d_3d = MultiscaleDiscriminator3D(ndf=8, n_layers=2, num_D=2)
+    gen_step, _ = make_gan_steps(
+        model, d_img, d_3d, sample_frames=SAMPLE_FRAMES, donate=False,
+        g_2d_weight=0.05, g_3d_weight=0.1,
+    )
+    _, m = gen_step(state, batch, jax.random.key(7), None, 1.0)
+    assert abs(
+        float(m["g_loss"])
+        - (float(m["mse"]) + float(m["latent"])
+           + 0.05 * float(m["g_2d"]) + 0.1 * float(m["g_3d"]))
+    ) < 1e-5
+
+
+def test_gan_cli_exposes_adversarial_weight_flags():
+    from faceoff_tpu.cli.train_faceoff_gan import build_parser
+
+    args = build_parser().parse_args(
+        ["--data_root", "x", "--g2d_weight", "0.02", "--g3d_weight",
+         "0.03", "--img_disc_weight", "0.4", "--vid_disc_weight", "0.6"]
+    )
+    assert args.g2d_weight == 0.02 and args.g3d_weight == 0.03
+    assert args.img_disc_weight == 0.4 and args.vid_disc_weight == 0.6
+    # defaults match the reference's config.py:9-13
+    d = build_parser().parse_args(["--data_root", "x"])
+    assert d.g2d_weight == 0.25 and d.g3d_weight == 0.25
+    assert d.img_disc_weight == 0.5 and d.vid_disc_weight == 0.5
+
+
+def test_adv_scale_schedule_ramp():
+    from faceoff_tpu.train.gan import adv_scale_schedule
+
+    # hard switch (ramp=0): 0 through the warmup, 1 after
+    assert adv_scale_schedule(99, start=100) == 0.0
+    assert adv_scale_schedule(100, start=100) == 1.0
+    # linear ramp reaches 1 exactly at start+ramp steps
+    vals = [adv_scale_schedule(s, start=100, ramp=4) for s in
+            (99, 100, 101, 102, 103, 104, 1000)]
+    assert vals == [0.0, 0.25, 0.5, 0.75, 1.0, 1.0, 1.0]
+    # step0 offsets make warmup relative to THIS run, not global step
+    assert adv_scale_schedule(1512, start=100, ramp=0, step0=1512) == 0.0
+    assert adv_scale_schedule(1612, start=100, ramp=0, step0=1512) == 1.0
