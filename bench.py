@@ -431,12 +431,18 @@ def bench_swap_session():
     )
 
 
-def main(batch_clips: int = 16, remat: bool = False):
+def main(batch_clips: int = 16, remat: bool = False, hw: int = HW):
     """The headline metric. batch_clips=16 is the measured best per-chip
     operating point on a v5e (BENCHMARKS.md round-3 sweep: 386 b1 ->
     441 b4 -> 464 b8 -> 620 b16 -> 528 b32 f/s; the larger folded frame
     batch tiles the MXU better until b32 hits HBM pressure); batch 1
-    remains reachable via --batch 1 for the reference-shaped comparison."""
+    remains reachable via --batch 1 for the reference-shaped comparison.
+
+    hw: spatial resolution. 256 is the reference's HARD output cap
+    (reference README.md:83, TemporalAlignment/dataset.py:230); the
+    model here is fully convolutional, so --hw 512 measures a capability
+    the reference does not have at all (pair with --remat and a smaller
+    --batch for HBM headroom)."""
     from faceoff_tpu.models import VQVAE
     from faceoff_tpu.models.lpips import init_lpips
     from faceoff_tpu.train import create_train_state, make_train_step
@@ -454,14 +460,14 @@ def main(batch_clips: int = 16, remat: bool = False):
 
     key = jax.random.key(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    gt = jax.random.uniform(k1, (b, T, HW, HW, 3), minval=-1, maxval=1)
-    bg = jax.random.uniform(k2, (b, T, HW, HW, 3), minval=-1, maxval=1)
+    gt = jax.random.uniform(k1, (b, T, hw, hw, 3), minval=-1, maxval=1)
+    bg = jax.random.uniform(k2, (b, T, hw, hw, 3), minval=-1, maxval=1)
     batch = {"input": jnp.concatenate([gt, bg], axis=-1), "gt": gt}
 
     state = create_train_state(model, k3, batch["input"], lr=3e-4)
 
     lpips_model, lpips_vars = init_lpips(
-        jax.random.key(1), image_size=HW,
+        jax.random.key(1), image_size=hw,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
@@ -488,7 +494,7 @@ def main(batch_clips: int = 16, remat: bool = False):
     print(
         json.dumps(
             {
-                "metric": f"train_frames_per_sec_per_chip_256px_T8_b{b}",
+                "metric": f"train_frames_per_sec_per_chip_{hw}px_T8_b{b}",
                 "value": round(fps_per_chip, 2),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps_per_chip / REF_FPS_PER_GPU_EST, 3),
@@ -526,10 +532,15 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true",
                     help="step mode: rematerialize enc/dec activations in "
                          "the backward (HBM-traffic vs recompute A/B)")
+    ap.add_argument("--hw", type=int, default=HW,
+                    help="step mode: spatial resolution (256 = the "
+                         "reference's hard cap; 512 exercises the "
+                         "beyond-reference resolution path)")
     cli = ap.parse_args()
     mode = cli.mode
     if mode == "step":
-        main(batch_clips=cli.batch if cli.batch else 16, remat=cli.remat)
+        main(batch_clips=cli.batch if cli.batch else 16, remat=cli.remat,
+             hw=cli.hw)
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":

@@ -32,6 +32,18 @@ def add_model_flags(p) -> None:
                         "are interchangeable with remat off")
 
 
+def add_curation_flags(p) -> None:
+    """Dataset curation: the reference maintains repo-root JSON lists of
+    bad videos (bad_mp4s.json) consumed inside its dataset class
+    (reference TemporalAlignment/dataset.py:190-208); here the same list
+    is an explicit flag accepted by every dataset-consuming CLI."""
+    p.add_argument(
+        "--exclude_list", default=None,
+        help="JSON file of video directory names/paths to skip "
+             "(the reference's bad_mp4s.json role)",
+    )
+
+
 def add_multihost_flags(p) -> None:
     """Explicit process-coordination flags for clusters without
     autodetectable metadata — the role of the reference launcher's

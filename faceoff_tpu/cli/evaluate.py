@@ -53,6 +53,7 @@ def main(argv=None):
                         "the swapped outputs and the real target clips "
                         "(fd_vgg appearance + fd_vgg_motion temporal)")
     common.add_model_flags(p)
+    common.add_curation_flags(p)
     args = p.parse_args(argv)
 
     model = common.build_vqvae(args)
@@ -85,6 +86,7 @@ def main(argv=None):
         args.data_root, "val", args.frames, resolution=args.size,
         cross_identity=args.crossid,
         naive_blend=(args.naive_baseline or "") if args.crossid else "",
+        exclude_list=args.exclude_list,
     )
     loader = DataLoader(
         ds, batch_clips=1, shuffle=False, num_workers=args.num_workers

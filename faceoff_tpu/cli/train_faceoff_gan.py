@@ -159,6 +159,7 @@ def build_parser():
     p.add_argument("--multihost", action="store_true",
                    help="multi-host run: jax.distributed.initialize() + "
                         "per-process train-loader sharding")
+    common.add_curation_flags(p)
     common.add_multihost_flags(p)
     return p
 
@@ -197,7 +198,8 @@ def main(argv=None):
     model = common.build_vqvae(args)
 
     ds = TemporalAlignmentDataset(
-        args.data_root, "train", args.train_frames, resolution=args.size
+        args.data_root, "train", args.train_frames, resolution=args.size,
+        exclude_list=args.exclude_list,
     )
     prepare_fn = None
     if args.steps_per_call > 1 and args.gan != "mocoganhd":
@@ -387,7 +389,8 @@ def main(argv=None):
 
     eval_step = make_eval_step(model)
     val_ds = TemporalAlignmentDataset(
-        args.data_root, "val", args.val_frames, resolution=args.size
+        args.data_root, "val", args.val_frames, resolution=args.size,
+        exclude_list=args.exclude_list,
     )
     val_loader = DataLoader(
         val_ds, batch_clips=local_val_clips, shuffle=False, num_workers=2,

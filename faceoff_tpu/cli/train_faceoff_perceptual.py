@@ -94,6 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(replaces the reference's mp.spawn + NCCL "
                         "rendezvous + DistributedSampler, "
                         "distributed/launch.py:22-92, distributed.py:135-143)")
+    common.add_curation_flags(p)
     common.add_multihost_flags(p)
     p.add_argument("--commitment_beta", type=float, default=1.0,
                    help="scales the VQ commitment (latent) term")
@@ -172,6 +173,7 @@ def build_everything(args):
         resolution=args.size,
         color_jitter_type=args.colorjit,
         grayscale=args.gray,
+        exclude_list=args.exclude_list,
     )
     val_root = args.validation_folder or args.data_root
     val_ds = TemporalAlignmentDataset(
@@ -185,6 +187,7 @@ def build_everything(args):
         custom_validation_source=(
             args.data_root if args.custom_validation else None
         ),
+        exclude_list=args.exclude_list,
     )
     prepare_fn = None
     if args.device_pipeline:

@@ -145,3 +145,55 @@ class TestObservability:
         os.kill(os.getpid(), signal.SIGUSR1)
         assert g.should_stop
         g.restore()
+
+
+class TestExcludeListCLIPlumbing:
+    """--exclude_list must reach every dataset the CLIs construct (the
+    reference consumes its curation lists inside the dataset class;
+    here the list is an explicit flag, reference dataset.py:190-208)."""
+
+    def _record(self, monkeypatch, module):
+        calls = []
+        real = module.TemporalAlignmentDataset
+
+        def recorder(*a, **kw):
+            calls.append(kw.get("exclude_list"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(module, "TemporalAlignmentDataset", recorder)
+        return calls
+
+    def test_perceptual_cli_threads_exclude_list(
+        self, monkeypatch, tmp_path
+    ):
+        from faceoff_tpu.cli import train_faceoff_perceptual as cli
+        from faceoff_tpu.data import synthetic
+
+        root = tmp_path / "ds"
+        synthetic.generate_dataset(str(root), n_videos=3, n_frames=6, size=32)
+        excl = tmp_path / "bad.json"
+        excl.write_text(json.dumps(["video_002"]))
+        calls = self._record(monkeypatch, cli)
+        cli.main([
+            "--data_root", str(root), "--size", "32", "--epoch", "1",
+            "--train_frames", "2", "--val_frames", "2",
+            "--validate_at", "100000", "--num_workers", "1",
+            "--exclude_list", str(excl),
+            "--sample_folder", str(tmp_path / "s"),
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--channel", "16", "--n_res_block", "1", "--n_res_channel", "8",
+            "--embed_dim", "8", "--n_embed", "32",
+        ])
+        # both the train and the val dataset got the list
+        assert len(calls) == 2 and all(c == str(excl) for c in calls)
+
+    def test_evaluate_parser_accepts_exclude_list(self):
+        # parser-level check for the inference CLI (running evaluate
+        # end-to-end needs a checkpoint; plumbing is one kwarg)
+        import inspect
+
+        from faceoff_tpu.cli import evaluate
+
+        src = inspect.getsource(evaluate)
+        assert "--exclude_list" in src or "add_curation_flags" in src
+        assert "exclude_list=args.exclude_list" in src
