@@ -431,7 +431,8 @@ def bench_swap_session():
     )
 
 
-def main(batch_clips: int = 16, remat: bool = False, hw: int = HW):
+def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
+         no_pallas: bool = False):
     """The headline metric. batch_clips=16 is the measured best per-chip
     operating point on a v5e (BENCHMARKS.md round-3 sweep: 386 b1 ->
     441 b4 -> 464 b8 -> 620 b16 -> 528 b32 f/s; the larger folded frame
@@ -454,7 +455,7 @@ def main(batch_clips: int = 16, remat: bool = False, hw: int = HW):
     model = VQVAE(
         in_channels=6,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        use_pallas=on_tpu,
+        use_pallas=on_tpu and not no_pallas,
         remat=remat,
     )
 
@@ -532,6 +533,8 @@ if __name__ == "__main__":
     ap.add_argument("--remat", action="store_true",
                     help="step mode: rematerialize enc/dec activations in "
                          "the backward (HBM-traffic vs recompute A/B)")
+    ap.add_argument("--no_pallas", action="store_true",
+                    help="step mode: pure-XLA VQ path A/B")
     ap.add_argument("--hw", type=int, default=HW,
                     help="step mode: spatial resolution (256 = the "
                          "reference's hard cap; 512 exercises the "
@@ -540,7 +543,7 @@ if __name__ == "__main__":
     mode = cli.mode
     if mode == "step":
         main(batch_clips=cli.batch if cli.batch else 16, remat=cli.remat,
-             hw=cli.hw)
+             hw=cli.hw, no_pallas=cli.no_pallas)
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":

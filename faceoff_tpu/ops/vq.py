@@ -196,6 +196,17 @@ def vq_quantize_train(
     if use_pallas:
         from faceoff_tpu.ops import vq_pallas
 
+        # Measured crossover (tools/bench_vq.py, v5e, N=524288 D=64):
+        # the fused kernel is parity with XLA through K=2048; past the
+        # single-pass VMEM ceiling the K-tiled kernel avoids the OOM but
+        # XLA's fused streaming argmax is 2.7-3x faster (24.3 vs 64.9 ms
+        # at K=8192), so use_pallas routes large codebooks to the XLA
+        # path. vq_pallas.vq_assign remains callable directly at any K.
+        use_pallas = codebook.n_embed <= vq_pallas._MAX_SINGLE_PASS_K
+
+    if use_pallas:
+        from faceoff_tpu.ops import vq_pallas
+
         indices, quant_flat, counts, sums = vq_pallas.vq_assign(
             flat, codebook.embed
         )

@@ -210,3 +210,49 @@ def test_fit_saves_final_checkpoint_without_validation(synth_root, tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     restored = mgr.restore_weights(trainer.state)
     assert int(restored.step) == trainer.global_step
+
+
+def test_checkpoint_resolution_transfer(tmp_path):
+    """A checkpoint trained at one resolution restores and runs at another:
+    the model is fully convolutional (conv kernels, 1x1 projections, and
+    the VQ codebook are all resolution-independent), which is what makes
+    training/serving beyond the reference's 256px hard cap possible
+    (reference README.md:83, TemporalAlignment/dataset.py:230 fix 256)."""
+    model = tiny_model()
+    lo = jnp.zeros((1, 2, 32, 32, 6), jnp.float32)
+    hi = jnp.zeros((1, 2, 64, 64, 6), jnp.float32)
+
+    state = create_train_state(model, jax.random.key(0), lo, lr=1e-3)
+    step = make_train_step(model, donate=False)
+    batch = {
+        "input": jnp.asarray(
+            np.random.default_rng(0).uniform(-1, 1, lo.shape), jnp.float32
+        ),
+        "gt": jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, lo.shape[:-1] + (3,)),
+            jnp.float32,
+        ),
+    }
+    state, _ = step(state, batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state)
+
+    # fresh state built at 2x the resolution: identical param tree
+    hi_state = create_train_state(model, jax.random.key(1), hi, lr=1e-3)
+    chex = jax.tree_util.tree_structure
+    assert chex(hi_state.params) == chex(state.params)
+    restored = mgr.restore_weights(hi_state)
+    got = jax.tree_util.tree_leaves(restored.params)[0]
+    want = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # and the restored weights run at the higher resolution
+    dec, latent = model.apply(
+        {"params": restored.params, "vq": restored.vq},
+        jnp.asarray(
+            np.random.default_rng(2).uniform(-1, 1, hi.shape), jnp.float32
+        ),
+        train=False,
+    )
+    assert dec.shape == hi.shape
+    assert np.isfinite(float(latent))
