@@ -74,7 +74,8 @@ def fid(real_feats: jnp.ndarray, fake_feats: jnp.ndarray) -> jnp.ndarray:
 
 
 def vgg_features(
-    lpips_vars, images: jnp.ndarray, max_dim: int = 64
+    lpips_vars, images: jnp.ndarray, max_dim: int = 64,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Pooled VGG16 tap activations as a Fréchet feature extractor.
 
@@ -83,7 +84,24 @@ def vgg_features(
     channel-truncated to keep covariance estimation sane at small N).
     lpips_vars: variables from models.lpips.init_lpips (converted weights
     or the fixed-seed random VGG).
+
+    Frames are processed in chunks bounding the peak VGG activation
+    footprint (the first 64-channel fp32 tap dominates): a whole 512px
+    validation set in one batch exhausts a v5e's HBM. `chunk=None` sizes
+    chunks to ~32 frames at 256px, scaled by pixel count.
     """
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
+    if chunk is None:
+        chunk = max(1, (32 * 256 * 256) // (h * w))
+    if n > chunk:
+        return jnp.concatenate(
+            [
+                vgg_features(lpips_vars, images[i: i + chunk], max_dim, chunk)
+                for i in range(0, n, chunk)
+            ],
+            axis=0,
+        )
+
     from faceoff_tpu.models.lpips import _SCALE, _SHIFT, VGG16Slices
 
     prep = (images.astype(jnp.float32) - jnp.asarray(_SHIFT)) / jnp.asarray(

@@ -131,3 +131,23 @@ def test_multibatch_features_match_single_batch():
         np.testing.assert_allclose(
             float(chunked[k]), float(whole[k]), rtol=1e-4
         )
+
+
+def test_vgg_features_chunked_matches_unchunked():
+    """Chunked frame processing (the OOM guard for high-res validation
+    sets) is exact: same features as one full-batch pass."""
+    import jax
+
+    from faceoff_tpu.evaluation import vgg_features
+    from faceoff_tpu.models.lpips import init_lpips
+
+    _, lpips_vars = init_lpips(jax.random.key(0), image_size=32)
+    imgs = jax.random.uniform(
+        jax.random.key(3), (7, 32, 32, 3), minval=-1, maxval=1
+    )
+    whole = vgg_features(lpips_vars, imgs, chunk=7)
+    chunked = vgg_features(lpips_vars, imgs, chunk=3)  # 3+3+1 split
+    assert whole.shape == chunked.shape
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(whole), rtol=1e-5, atol=1e-6
+    )
