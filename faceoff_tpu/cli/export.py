@@ -29,7 +29,7 @@ def build_parser():
     p.add_argument("--frames", type=int, default=8,
                    help="offline chunk length (frames per call)")
     p.add_argument("--batch", type=int, default=1)
-    p.add_argument("--platforms", nargs="*", default=None,
+    p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering targets, e.g. --platforms tpu cpu "
                         "(default: current backend)")
     p.add_argument("--no_streaming", action="store_true",
@@ -39,26 +39,21 @@ def build_parser():
 
 
 def main(argv=None):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from faceoff_tpu.io.checkpoint import CheckpointManager
-    from faceoff_tpu.models import VQVAE
     from faceoff_tpu.serve.export import save_bundle
     from faceoff_tpu.train import create_train_state
 
     args = build_parser().parse_args(argv)
 
-    # portable XLA VQ path: pallas custom-calls do not lower cross-platform
-    model = VQVAE(
-        in_channels=6,
-        channel=args.channel,
-        n_res_block=args.n_res_block,
-        n_res_channel=args.n_res_channel,
-        embed_dim=args.embed_dim,
-        n_embed=args.n_embed,
-        use_pallas=False,
-    )
+    # same backend-conditioned dtype as every other inference CLI, but
+    # always the portable XLA VQ path: pallas custom-calls do not lower
+    # cross-platform
+    model = dataclasses.replace(common.build_vqvae(args), use_pallas=False)
     sample = jnp.zeros(
         (1, args.frames, args.size, args.size, 6), jnp.float32
     )

@@ -17,9 +17,10 @@ Two surfaces are exported:
              `flush(state, total)`) with their ring-buffer state
 
 A bundle directory holds one `.stablehlo` artifact per function plus a
-`meta.json` sidecar describing shapes, dtypes, the streaming delay and
-the zero-state spec, so a loader can reconstruct everything without the
-model class. `load_bundle` is that loader.
+`meta.json` sidecar describing shapes, dtypes and the streaming delay;
+the zero initial state ships as its own exported program, so a loader
+reconstructs everything without the model class. `load_bundle` is that
+loader, and `export.py` is importable with only jax installed.
 
 Cross-platform: pass `platforms=("tpu", "cpu")` to lower one artifact
 for both backends (export-time lowering does not need the device).
@@ -33,22 +34,24 @@ import json
 import os
 import os.path as osp
 from types import SimpleNamespace
-from typing import Optional, Sequence, Tuple
+from typing import TYPE_CHECKING, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-from faceoff_tpu.models.vqvae import VQVAE
+if TYPE_CHECKING:  # annotation only — load_bundle must not pull in flax
+    from faceoff_tpu.models.vqvae import VQVAE
 
 _OFFLINE = "offline.stablehlo"
 _PUSH = "streaming_push.stablehlo"
 _FLUSH = "streaming_flush.stablehlo"
+_INIT = "streaming_init.stablehlo"
 _META = "meta.json"
 
 
 def export_offline(
-    model: VQVAE,
+    model: "VQVAE",
     variables,
     *,
     frames: int,
@@ -72,18 +75,22 @@ def export_offline(
 
 
 def export_streaming(
-    model: VQVAE,
+    model: "VQVAE",
     variables,
     *,
     height: int,
     width: int,
     batch: int = 1,
     platforms: Optional[Sequence[str]] = None,
-) -> Tuple[jax_export.Exported, jax_export.Exported, dict]:
+) -> Tuple[jax_export.Exported, jax_export.Exported, jax_export.Exported,
+           int]:
     """Export the online-inference primitives. Returns
-    (push, flush, state_spec) where push(state, frame) -> (state, out)
-    and flush(state, total) -> (state, out); `state_spec` describes the
-    zero initial state so the loader can build it without the model."""
+    (push, flush, init, delay) where push(state, frame) -> (state, out),
+    flush(state, total) -> (state, out), and init() -> the zero initial
+    state. Exporting `init` as a program (rather than describing the
+    state schema in metadata) keeps the loader structurally correct by
+    construction: whatever pytree make_stream_steps uses, the bundle
+    reproduces it."""
     from faceoff_tpu.serve.streaming import make_stream_steps
 
     init_state, push_step, flush_step, delay = make_stream_steps(
@@ -99,6 +106,13 @@ def export_streaming(
     )
     total_sds = jax.ShapeDtypeStruct((), jnp.int32)
 
+    def init_fn():
+        # zeros constructed inside the traced fn lower to broadcast(0),
+        # not embedded literals — the init artifact stays tiny
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), state_sds
+        )
+
     plats = _norm_platforms(platforms)
     push = jax_export.export(push_step, platforms=plats)(
         state_sds, frame_sds
@@ -106,22 +120,13 @@ def export_streaming(
     flush = jax_export.export(flush_step, platforms=plats)(
         state_sds, total_sds
     )
-
-    def leaf_spec(x):
-        return {"shape": list(x.shape), "dtype": str(x.dtype)}
-
-    state_spec = {
-        "bufs_b": [leaf_spec(b) for b in state0["bufs_b"]],
-        "bufs_t": [leaf_spec(b) for b in state0["bufs_t"]],
-        "s": leaf_spec(state0["s"]),
-        "delay": delay,
-    }
-    return push, flush, state_spec
+    init = jax_export.export(jax.jit(init_fn), platforms=plats)()
+    return push, flush, init, delay
 
 
 def save_bundle(
     out_dir: str,
-    model: VQVAE,
+    model: "VQVAE",
     variables,
     *,
     frames: int,
@@ -152,7 +157,7 @@ def save_bundle(
     meta["platforms"] = list(off.platforms)
 
     if streaming:
-        push, flush, state_spec = export_streaming(
+        push, flush, init, delay = export_streaming(
             model, variables, height=size, width=size, batch=batch,
             platforms=platforms,
         )
@@ -160,11 +165,14 @@ def save_bundle(
             f.write(push.serialize())
         with open(osp.join(out_dir, _FLUSH), "wb") as f:
             f.write(flush.serialize())
+        with open(osp.join(out_dir, _INIT), "wb") as f:
+            f.write(init.serialize())
         meta["streaming"] = {
             "push_file": _PUSH,
             "flush_file": _FLUSH,
+            "init_file": _INIT,
             "frame_shape": [batch, size, size, model.in_channels],
-            "state": state_spec,
+            "delay": delay,
         }
 
     with open(osp.join(out_dir, _META), "w") as f:
@@ -194,24 +202,13 @@ def load_bundle(bundle_dir: str) -> SimpleNamespace:
         sm = meta["streaming"]
         push = _load(sm["push_file"])
         flush = _load(sm["flush_file"])
-        spec = sm["state"]
-
-        def init_state():
-            def zeros(ls):
-                return jnp.zeros(ls["shape"], ls["dtype"])
-
-            return {
-                "bufs_b": tuple(zeros(b) for b in spec["bufs_b"]),
-                "bufs_t": tuple(zeros(b) for b in spec["bufs_t"]),
-                "s": zeros(spec["s"]),
-            }
-
-        ns.init_state = init_state
+        init = _load(sm["init_file"])
+        ns.init_state = lambda: init.call()
         ns.push = lambda state, frame: push.call(state, frame)
         ns.flush = lambda state, total: flush.call(
             state, jnp.asarray(total, jnp.int32)
         )
-        ns.delay = spec["delay"]
+        ns.delay = sm["delay"]
     return ns
 
 
