@@ -39,7 +39,6 @@ from faceoff_tpu.models.lpips import init_lpips
 from faceoff_tpu.io.checkpoint import CheckpointManager
 from faceoff_tpu.parallel import (
     collectives,
-    is_primary,
     make_mesh,
     shard_batch,
     stage_global,

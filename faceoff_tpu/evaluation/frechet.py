@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from typing import Callable, Tuple
 
-import jax
 import jax.numpy as jnp
 
 

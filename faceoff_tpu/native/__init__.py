@@ -9,7 +9,6 @@ cleanly when the toolchain or libjpeg is unavailable — callers check
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
 import threading

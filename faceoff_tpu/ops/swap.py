@@ -18,7 +18,7 @@ a single XLA program end-to-end when composed with the VQVAE forward.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -20,12 +20,10 @@ Numerically matches the automatic-partitioner step; tested on the virtual
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from faceoff_tpu.losses import mse_loss
