@@ -51,6 +51,9 @@ REAL_PANELS = {
     "v2v_same_identity3.gif": [0, 2],
     "v2v_comparisons1.gif": [0, 1],
     "v2v_comparisons31.gif": [0, 1],
+    # infographic strip: (source, output, target) + a small side motion
+    # panel; the left motion panel falls below the size filter
+    "v2v_faceswapping_looped2.gif": [0, 2],
     # rows of 6 = [src, out, tgt] x 2 grids; real = all but columns 1, 4
     "v2v_more_result.gif": [0, 2, 3, 5, 6, 8, 9, 11, 12, 14, 15, 17],
 }
