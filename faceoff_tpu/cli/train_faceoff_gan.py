@@ -100,6 +100,11 @@ def build_parser():
                         "dump sample videos the same way)")
     p.add_argument("--metrics_path", default=None,
                    help="append-only JSONL scalar log (one line per step)")
+    p.add_argument("--stall_timeout", type=float, default=0.0,
+                   help="fail fast (exit 117) after this many seconds "
+                        "without a completed step (hung remote accelerator "
+                        "client); supervisor restarts with --resume. Must "
+                        "exceed the first cold compile. 0 disables")
     p.add_argument("--val_frames", type=int, default=30)
     p.add_argument("--val_batches", type=int, default=2)
     p.add_argument("--log_every", type=int, default=10)
@@ -384,7 +389,11 @@ def main(argv=None):
     # sample videos at cadence too)
     from faceoff_tpu.train.train_step import make_eval_step
     from faceoff_tpu.train.trainer import run_validation
-    from faceoff_tpu.train.observability import MetricsWriter, PreemptionGuard
+    from faceoff_tpu.train.observability import (
+        MetricsWriter,
+        PreemptionGuard,
+        StallWatchdog,
+    )
 
     eval_step = make_eval_step(model)
     val_ds = TemporalAlignmentDataset(
@@ -401,6 +410,7 @@ def main(argv=None):
         MetricsWriter(args.metrics_path) if args.metrics_path else None
     )
     preemption = PreemptionGuard()
+    watchdog = StallWatchdog(args.stall_timeout)
 
     def save_all(step_count):
         # EVERY process calls orbax save: its multi-controller sync would
@@ -507,6 +517,7 @@ def main(argv=None):
                 state, m = run_step(state, batch, step_count, base_key)
                 step_count += 1
                 pending.append((step_count, epoch, m))
+            watchdog.beat()
             log_now = step_count - last_log >= args.log_every
             if log_now:
                 last_log = step_count
@@ -555,6 +566,7 @@ def main(argv=None):
             flush=True,
         )
     pending.clear()
+    watchdog.stop()
     save_all(max(step_count, 1))
     if metrics_writer is not None:
         metrics_writer.close()

@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append per-step scalars as JSONL")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15")
+    p.add_argument("--stall_timeout", type=float, default=0.0,
+                   help="fail fast (exit 117) after this many seconds "
+                        "without a completed step — a hung remote "
+                        "accelerator client blocks forever otherwise; a "
+                        "supervisor restarts with --ckpt latest. Must "
+                        "exceed the first cold compile (allow >=1800). "
+                        "0 disables")
     p.add_argument("--seed", type=int, default=0)
     # model-size overrides (reference hardcodes channel=128 etc.,
     # models/vqvae_conv3d_latent.py:192-201)
@@ -264,6 +271,7 @@ def build_everything(args):
         lpips_vars=lpips_vars, mesh=mesh, prepare_fn=prepare_fn,
         metrics_path=args.metrics_path, profile_dir=args.profile_dir,
         steps_per_call=args.steps_per_call,
+        stall_timeout=args.stall_timeout,
     )
     return trainer, cfg
 

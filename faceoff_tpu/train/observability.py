@@ -147,3 +147,71 @@ class PreemptionGuard:
                 signal.signal(sig, prev)
             except (ValueError, OSError):
                 pass
+
+
+STALL_EXIT_CODE = 117  # distinctive: wrappers can key auto-resume on it
+
+
+class StallWatchdog:
+    """Fail-fast guard against a hung accelerator client (SURVEY §5:
+    the reference has no failure detection at the trainer level).
+
+    Observed failure mode on remote/relay-attached accelerators: the
+    client's connection dies mid-run and the next device call blocks
+    FOREVER with no exception — the training process looks alive (the
+    reconnect loop spins) but makes no progress, and a Python-level
+    timeout cannot interrupt the blocked native call. The crash-only
+    remedy: a daemon thread watches for step-boundary heartbeats and,
+    after `timeout` seconds without one, prints a loud diagnosis and
+    hard-exits with STALL_EXIT_CODE so a supervisor (shell loop, SLURM
+    requeue, the quality-run orchestrator) restarts the trainer, which
+    resumes exactly from the last checkpoint (`--ckpt latest`).
+
+    The timeout must exceed the worst legitimate gap between step
+    boundaries — through a remote-compile relay a cold first compile
+    takes minutes, so the default is generous (3600 s). `beat()` is
+    called by the training loop at every step boundary; `stop()`
+    disarms on clean shutdown. `on_stall` is injectable for tests.
+    """
+
+    def __init__(
+        self,
+        timeout: float = 3600.0,
+        on_stall=None,
+        poll_interval: Optional[float] = None,
+    ):
+        import threading
+
+        self.timeout = float(timeout)
+        self._last_beat = time.monotonic()
+        self._stopped = threading.Event()
+        self._on_stall = on_stall or self._default_on_stall
+        self._poll = poll_interval or min(30.0, max(0.05, self.timeout / 10))
+        self._thread = threading.Thread(
+            target=self._watch, name="stall-watchdog", daemon=True
+        )
+        if self.timeout > 0:
+            self._thread.start()
+
+    def beat(self) -> None:
+        self._last_beat = time.monotonic()
+
+    def stop(self) -> None:
+        self._stopped.set()
+
+    def _watch(self) -> None:
+        while not self._stopped.wait(self._poll):
+            idle = time.monotonic() - self._last_beat
+            if idle > self.timeout:
+                self._on_stall(idle)
+                return
+
+    def _default_on_stall(self, idle: float) -> None:
+        print(
+            f"STALL: no step heartbeat for {idle:.0f}s "
+            f"(> {self.timeout:.0f}s). The accelerator client is likely "
+            f"hung on a dead connection; exiting {STALL_EXIT_CODE} so a "
+            f"supervisor can restart and resume from the last checkpoint.",
+            flush=True,
+        )
+        os._exit(STALL_EXIT_CODE)

@@ -183,6 +183,7 @@ class Trainer:
         metrics_path: Optional[str] = None,
         profile_dir: Optional[str] = None,
         steps_per_call: int = 1,
+        stall_timeout: float = 0.0,
     ):
         self.cfg = cfg
         self.model = model
@@ -211,6 +212,7 @@ class Trainer:
         from faceoff_tpu.train.observability import (
             MetricsWriter,
             PreemptionGuard,
+            StallWatchdog,
             StepProfiler,
         )
 
@@ -219,6 +221,10 @@ class Trainer:
         )
         self.profiler = StepProfiler(profile_dir)
         self.preemption = PreemptionGuard()
+        # fail-fast on a hung accelerator client (0 = disabled): exits
+        # STALL_EXIT_CODE after `stall_timeout`s without a step boundary
+        # so a supervisor restarts + resumes from the last checkpoint
+        self.watchdog = StallWatchdog(stall_timeout)
 
         # dead-code restart cadence (cfg.train.revive_codes_every; 0 = off):
         # periodically re-seed EMA-dead codebook entries from the current
@@ -308,6 +314,7 @@ class Trainer:
             self.global_step += n_steps
             logger.update(metrics, frames)
             self.profiler.step(self.global_step)
+            self.watchdog.beat()
 
             if self.metrics_writer is not None:
                 if "lr" in metrics:
@@ -417,6 +424,7 @@ class Trainer:
             if self.global_step > 0:
                 self._save()
         finally:
+            self.watchdog.stop()
             self.profiler.close()
             if self.metrics_writer is not None:
                 self.metrics_writer.close()

@@ -197,3 +197,48 @@ class TestExcludeListCLIPlumbing:
         src = inspect.getsource(evaluate)
         assert "--exclude_list" in src or "add_curation_flags" in src
         assert "exclude_list=args.exclude_list" in src
+
+
+class TestStallWatchdog:
+    """Fail-fast guard against a hung accelerator client
+    (train/observability.StallWatchdog)."""
+
+    def test_fires_after_timeout_without_beats(self):
+        import threading
+
+        from faceoff_tpu.train.observability import StallWatchdog
+
+        fired = threading.Event()
+        wd = StallWatchdog(
+            timeout=0.15, on_stall=lambda idle: fired.set(),
+            poll_interval=0.02,
+        )
+        assert fired.wait(2.0), "watchdog never fired"
+        wd.stop()
+
+    def test_beats_keep_it_alive_and_stop_disarms(self):
+        import threading
+        import time as _t
+
+        from faceoff_tpu.train.observability import StallWatchdog
+
+        fired = threading.Event()
+        wd = StallWatchdog(
+            timeout=0.3, on_stall=lambda idle: fired.set(),
+            poll_interval=0.02,
+        )
+        for _ in range(5):  # heartbeat faster than the timeout
+            _t.sleep(0.1)
+            wd.beat()
+        assert not fired.is_set()
+        wd.stop()
+        _t.sleep(0.5)  # disarmed: no firing even after the timeout passes
+        assert not fired.is_set()
+
+    def test_zero_timeout_disabled(self):
+        from faceoff_tpu.train.observability import StallWatchdog
+
+        wd = StallWatchdog(timeout=0.0)
+        assert not wd._thread.is_alive()
+        wd.beat()
+        wd.stop()
