@@ -36,8 +36,14 @@ def main(argv=None):
     trainer.lpips_vars = None
 
     if args.ckpt:
-        step = None if args.ckpt == "latest" else int(args.ckpt)
-        trainer.resume(step)
+        if args.ckpt == "latest":
+            if trainer.ckpt.latest_step() is None:  # supervisor-friendly:
+                print("--ckpt latest: no checkpoint yet — training from "
+                      "scratch", flush=True)
+            else:
+                trainer.resume(None)
+        else:
+            trainer.resume(int(args.ckpt))
 
     if args.test:
         from faceoff_tpu.train.trainer import run_validation

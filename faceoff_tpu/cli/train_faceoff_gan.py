@@ -367,6 +367,13 @@ def main(argv=None):
     # discriminators saved next to a previous GAN run's generator
     disc_ckpt = CheckpointManager(osp.join(args.checkpoint_dir, "disc"))
     step0 = 0
+    if args.resume == "latest" and ckpt.latest_step() is None:
+        # resume-if-present-else-fresh: a supervisor loop can ALWAYS pass
+        # --resume latest; the first launch falls through to the warm-start
+        # path (--ckpt/--load_disc) or a fresh state
+        print("--resume latest: no checkpoint yet — starting fresh",
+              flush=True)
+        args.resume = None
     if args.resume is not None:
         step = (
             ckpt.latest_step() if args.resume == "latest" else int(args.resume)

@@ -313,8 +313,20 @@ def main(argv=None):
 
     trainer, cfg = build_everything(args)
     if args.ckpt:
-        step = None if args.ckpt == "latest" else int(args.ckpt)
-        trainer.resume(step)
+        if args.ckpt == "latest":
+            # resume-if-present-else-fresh: lets a supervisor loop ALWAYS
+            # pass `--ckpt latest` (first launch trains from scratch; a
+            # stall-watchdog restart resumes exactly)
+            if trainer.ckpt.latest_step() is None:
+                print(
+                    f"--ckpt latest: no checkpoint in "
+                    f"{trainer.ckpt.directory} yet — training from scratch",
+                    flush=True,
+                )
+            else:
+                trainer.resume(None)
+        else:
+            trainer.resume(int(args.ckpt))
 
     if args.test:
         run_validation(

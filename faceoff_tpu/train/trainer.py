@@ -412,9 +412,27 @@ class Trainer:
         self._last_saved_step = self.global_step
 
     def fit(self, epochs: Optional[int] = None):
+        """Train to a TOTAL budget of `epochs`: after a resume the budget
+        counts the restored progress, so a supervisor restart (`--ckpt
+        latest` after a stall exit) finishes the ORIGINAL run instead of
+        appending a whole new one — and the step-indexed lr schedule
+        stays within its designed horizon instead of wrapping."""
         n = epochs if epochs is not None else self.cfg.train.epochs
+        start = 0
+        if self.global_step > 0:
+            try:
+                spe = len(self.train_loader)
+            except TypeError:
+                spe = 0
+            if spe > 0:
+                start = min(n, self.global_step // spe)
+                if start:
+                    print(
+                        f"resume at step {self.global_step}: "
+                        f"{start}/{n} epochs already done", flush=True
+                    )
         try:
-            for epoch in range(n):
+            for epoch in range(start, n):
                 self.train_epoch(epoch)
                 if self.preemption.should_stop:
                     break

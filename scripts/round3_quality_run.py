@@ -49,11 +49,18 @@ A_FLAGS = os.environ.get("R3_A_FLAGS", "--device_pipeline").split()
 B_FLAGS = os.environ.get("R3_B_FLAGS", "--device_pipeline").split()
 
 
+STALL_EXIT_CODE = 117  # train CLIs' --stall_timeout fail-fast code
+
+
 def run(args, tag, timeout=2400, attempts=2):
     """timeout + retry guard against a wedged TPU-relay connection
     (observed repeatedly: a client's TCP link to the relay dies, jax
     hangs forever with ~0% CPU; a FRESH process reconnects fine — so one
-    retry usually recovers)."""
+    retry usually recovers). Train stages additionally arm their own
+    --stall_timeout watchdog, which exits STALL_EXIT_CODE mid-run much
+    sooner than the whole-stage timeout; both paths retry here, and the
+    train CLIs' resume-if-present `--ckpt/--resume latest` semantics make
+    the retry continue from the last checkpoint."""
     print(f"[{tag}] $ {' '.join(args)}", flush=True)
     for attempt in range(attempts):
         t0 = time.time()
@@ -63,7 +70,14 @@ def run(args, tag, timeout=2400, attempts=2):
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
                 timeout=timeout,
             )
-            break
+            if proc.returncode != STALL_EXIT_CODE:
+                break
+            log = osp.join(ART, f"{tag}.log")
+            with open(log, "w") as f:
+                f.write(proc.stdout)
+            print(f"[{tag}] attempt {attempt + 1} stalled (exit "
+                  f"{STALL_EXIT_CODE}) — retrying; resume continues from "
+                  f"the last checkpoint", flush=True)
         except subprocess.TimeoutExpired as e:
             log = osp.join(ART, f"{tag}.log")
             out = e.stdout or ""
@@ -74,7 +88,7 @@ def run(args, tag, timeout=2400, attempts=2):
             print(f"[{tag}] attempt {attempt + 1} timed out after "
                   f"{timeout}s — retrying in a fresh process", flush=True)
     else:
-        raise SystemExit(f"{tag} timed out {attempts}x (log: {log})")
+        raise SystemExit(f"{tag} stalled/timed out {attempts}x (log: {log})")
     log = osp.join(ART, f"{tag}.log")
     with open(log, "w") as f:
         f.write(proc.stdout)
@@ -145,10 +159,13 @@ def main():
             "--train_frames", "8", "--val_frames", str(FRAMES_B),
             "--validate_at", str(VAL_AT_A), "--num_workers", "8",
             "--sched", "cycle", *EXTRA_MODEL, *A_FLAGS,
+            # self-healing: fail fast on a relay wedge + resume on retry
+            # (with --ckpt the CLI uses checkpoint_dir AS-IS, no suffix)
+            "--stall_timeout", "1800", "--ckpt", "latest",
             "--metrics_path", m_a,
             "--sample_folder", osp.join(WORK, "samples_a"),
             "--checkpoint_dir", ck_a + "_tmp",
-        ], "stageA_train", timeout=4 * 3600)
+        ], "stageA_train", timeout=4 * 3600, attempts=4)
         # run dirs get a seed suffix; normalize to a stable name
         cand = [d for d in os.listdir(WORK) if d.startswith("ckpt_a_tmp")]
         os.rename(osp.join(WORK, sorted(cand)[-1]), ck_a)
@@ -179,10 +196,13 @@ def main():
             "--validate_at", str(VAL_AT_B), "--num_workers", "8",
             *EXTRA_MODEL, *B_FLAGS,
             "--ckpt", "latest", "--gen_checkpoint_dir", ck_a,
+            # self-healing: watchdog + exact full-state resume on retry
+            # (first launch falls through to the --ckpt warm start)
+            "--stall_timeout", "1800", "--resume", "latest",
             "--metrics_path", m_b,
             "--sample_folder", osp.join(WORK, "samples_b"),
             "--checkpoint_dir", ck_b,
-        ], "stageB_train", timeout=4 * 3600)
+        ], "stageB_train", timeout=4 * 3600, attempts=4)
 
     report["stageB_eval"] = run_json([
         "faceoff_tpu.cli.evaluate", "--data_root", DATA,

@@ -256,3 +256,25 @@ def test_checkpoint_resolution_transfer(tmp_path):
     )
     assert dec.shape == hi.shape
     assert np.isfinite(float(latent))
+
+
+def test_fit_budget_is_absolute_after_resume(synth_root, tmp_path):
+    """fit(N) counts RESTORED progress toward the budget: a supervisor
+    restart (--ckpt latest after a stall exit) finishes the original run
+    instead of appending N fresh epochs (which also wrapped the
+    step-indexed one-cycle schedule past its horizon)."""
+    t1 = build_trainer(synth_root, tmp_path)
+    t1.fit(1)
+    spe = len(t1.train_loader)
+    assert t1.global_step == spe
+
+    t2 = build_trainer(synth_root, tmp_path)  # same checkpoint_dir
+    t2.resume(None)
+    assert t2.global_step == spe
+    t2.fit(3)  # total budget 3 epochs, 1 already done
+    assert t2.global_step == 3 * spe
+
+    t3 = build_trainer(synth_root, tmp_path)
+    t3.resume(None)
+    t3.fit(3)  # budget already met: trains nothing, still saves nothing new
+    assert t3.global_step == 3 * spe
