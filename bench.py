@@ -498,7 +498,12 @@ def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
                 "metric": f"train_frames_per_sec_per_chip_{hw}px_T8_b{b}",
                 "value": round(fps_per_chip, 2),
                 "unit": "frames/s/chip",
-                "vs_baseline": round(fps_per_chip / REF_FPS_PER_GPU_EST, 3),
+                # the FLOP-derived reference bound is a 256px operating
+                # point; at any other resolution the reference has no
+                # comparable number (it hard-caps at 256 — reference
+                # README.md:83), so the ratio would mislead
+                "vs_baseline": round(fps_per_chip / REF_FPS_PER_GPU_EST, 3)
+                if hw == HW else None,
             }
         )
     )

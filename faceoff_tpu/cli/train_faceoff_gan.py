@@ -479,7 +479,21 @@ def main(argv=None):
     base_keys = (
         jax.random.split(base_key, spc) if spc > 1 else None
     )
-    for epoch in range(args.epoch):
+    # absolute budget (mirrors Trainer.fit): --epoch counts TOTAL epochs
+    # for the run INCLUDING progress restored by --resume, so a
+    # stall-watchdog retry with --resume latest finishes the original
+    # budget instead of appending a whole fresh one (each loader batch is
+    # one optimizer step; a <spc tail per run stays untrained, same as
+    # the perceptual trainer's _batch_stream remainder policy)
+    steps_per_epoch = max(len(loader), 1)
+    step_budget = args.epoch * steps_per_epoch
+    start_epoch = min(args.epoch, step0 // steps_per_epoch)
+    if start_epoch:
+        print(
+            f"resume at step {step0}: {start_epoch}/{args.epoch} epochs "
+            f"already done (budget {step_budget} steps)", flush=True,
+        )
+    for epoch in range(start_epoch, args.epoch):
         for batch in loader:
             batch = {
                 k: v for k, v in batch.items()
@@ -560,7 +574,9 @@ def main(argv=None):
             if step_count - last_val >= args.validate_at:
                 last_val = step_count
                 validate(epoch, step_count)
-            if args.steps and step_count >= args.steps:
+            if step_count >= step_budget or (
+                args.steps and step_count >= args.steps
+            ):
                 done = True
                 break
         if done:

@@ -424,6 +424,14 @@ class Trainer:
                 spe = len(self.train_loader)
             except TypeError:
                 spe = 0
+            if self.steps_per_call > 1:
+                # _batch_stream drops the remainder below a full K-stack,
+                # so an epoch only advances global_step by floor(spe/K)*K
+                # optimizer steps — crediting resumed progress against the
+                # raw loader length would under-count finished epochs and
+                # re-run them (overshooting the budget AND the
+                # step-indexed lr schedule horizon)
+                spe = (spe // self.steps_per_call) * self.steps_per_call
             if spe > 0:
                 start = min(n, self.global_step // spe)
                 if start:

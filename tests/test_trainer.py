@@ -278,3 +278,61 @@ def test_fit_budget_is_absolute_after_resume(synth_root, tmp_path):
     t3.resume(None)
     t3.fit(3)  # budget already met: trains nothing, still saves nothing new
     assert t3.global_step == 3 * spe
+
+
+def test_fit_budget_absolute_with_steps_per_call(tmp_path_factory, tmp_path):
+    """Same absolute-budget guarantee when K>1 steps ride one dispatch:
+    _batch_stream drops the remainder below a full K-stack, so each epoch
+    advances global_step by floor(spe/K)*K — resume accounting must credit
+    epochs against THAT effective length, not the raw loader length
+    (otherwise a supervisor restart re-runs finished epochs and pushes the
+    step-indexed schedule past its horizon)."""
+    from faceoff_tpu.train.train_step import make_multi_step
+
+    root = tmp_path_factory.mktemp("spc_synth")
+    synthetic.generate_dataset(str(root), n_videos=3, n_frames=8, size=64)
+
+    def build(epochs):
+        cfg = config_lib.Config(
+            train=config_lib.TrainConfig(
+                epochs=epochs,
+                validate_at=10_000,
+                checkpoint_dir=str(tmp_path / "ckpt_spc"),
+                sample_folder=str(tmp_path / "samples_spc"),
+            )
+        )
+        model = tiny_model()
+        ds = TemporalAlignmentDataset(str(root), "train", 4, resolution=64)
+        loader = DataLoader(ds, batch_clips=1, num_workers=2, seed=0)
+        val_ds = TemporalAlignmentDataset(str(root), "val", 4, resolution=64)
+        val_loader = DataLoader(
+            val_ds, batch_clips=1, shuffle=False, num_workers=2
+        )
+        sample = jnp.zeros((1, 4, 64, 64, 6))
+        state = create_train_state(model, jax.random.key(0), sample, lr=1e-3)
+        train_step = make_multi_step(model, 2, donate=False)
+        eval_step = make_eval_step(model)
+        mesh = make_mesh(data=1)
+        return Trainer(
+            cfg, model, state, train_step, eval_step, loader, val_loader,
+            mesh=mesh, steps_per_call=2,
+        )
+
+    k = 2
+    t1 = build(epochs=1)
+    spe_raw = len(t1.train_loader)
+    assert spe_raw == 3  # remainder case: 3 batches, K=2 -> 2 steps/epoch
+    spe_eff = (spe_raw // k) * k
+    t1.fit(1)
+    assert t1.global_step == spe_eff
+
+    t2 = build(epochs=3)
+    t2.resume(None)
+    assert t2.global_step == spe_eff
+    t2.fit(3)  # total budget 3 epochs, 1 (effective-length) already done
+    assert t2.global_step == 3 * spe_eff
+
+    t3 = build(epochs=3)
+    t3.resume(None)
+    t3.fit(3)  # budget already met
+    assert t3.global_step == 3 * spe_eff

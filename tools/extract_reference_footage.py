@@ -19,6 +19,18 @@ real-video corpus for training/evaluation evidence:
 Run:
   python tools/extract_reference_footage.py --gif_dir /root/reference/results \
       --out /tmp/real_clips [--preview /tmp/panels]
+
+PROVENANCE / CONSENT NOTE: the recovered panels are identifiable real-face
+footage republished by the reference authors in their result GIFs. The
+reference repo carries no license file and no statement of the subjects'
+consent, so the upstream rights basis for this footage is UNVERIFIED. It
+is used here strictly as in-environment evaluation/benchmark evidence for
+reproducing the reference's published behavior (the footage the authors
+themselves published for exactly that purpose); it is NOT redistributed
+with this repo, and the extracted clips must not be treated as a
+general-purpose training dataset or shipped anywhere without clearing the
+underlying rights. The extractor refuses to run unless the caller
+acknowledges this with --provenance_ack.
 """
 
 from __future__ import annotations
@@ -188,7 +200,19 @@ def main():
         "--preview", default=None,
         help="also write first-frame panel crops as PNGs here",
     )
+    p.add_argument(
+        "--provenance_ack", action="store_true",
+        help="acknowledge the PROVENANCE / CONSENT NOTE in this tool's "
+             "docstring (unverified upstream rights; in-env evaluation "
+             "evidence only, no redistribution)",
+    )
     args = p.parse_args()
+    if not args.provenance_ack:
+        p.error(
+            "this tool extracts identifiable real-face footage with "
+            "unverified upstream rights — read the PROVENANCE / CONSENT "
+            "NOTE in the module docstring and re-run with --provenance_ack"
+        )
 
     os.makedirs(args.out, exist_ok=True)
     if args.preview:
