@@ -134,6 +134,97 @@ def bench_e2e(device_pipeline: bool, batch: int = 1):
     )
 
 
+def bench_resident(batch: int = 16, spc: int = 1):
+    """End-to-end training throughput with the device-RESIDENT corpus
+    (--mode e2e_resident): the whole decoded dataset staged to HBM once,
+    clip sampling + hull/perturb/composite + LPIPS train step fused into
+    one program — the host only dispatches. This is the real trainer's
+    operating point under --resident_data; the round-3 e2e gap (620 f/s
+    device step vs 142-164 f/s system) was host transfer + dispatch, both
+    of which this mode removes."""
+    import tempfile
+
+    from faceoff_tpu.data import synthetic
+    from faceoff_tpu.data.dataset import TemporalAlignmentDataset
+    from faceoff_tpu.data.resident import (
+        build_resident_corpus,
+        make_resident_prepare,
+    )
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.models.lpips import init_lpips
+    from faceoff_tpu.train import create_train_state, make_train_step
+    from faceoff_tpu.train.train_step import make_multi_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    b = batch
+    with tempfile.TemporaryDirectory() as root:
+        # corpus sized like the real-footage one (~30 clips)
+        synthetic.generate_dataset(
+            root, n_videos=max(8, b), n_frames=T + 8, size=HW
+        )
+        ds = TemporalAlignmentDataset(root, "train", T, resolution=HW)
+        corpus = build_resident_corpus(ds)
+
+        model = VQVAE(
+            in_channels=6,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+            use_pallas=on_tpu,
+        )
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((b, T, HW, HW, 6)), lr=3e-4
+        )
+        lpips_model, lpips_vars = init_lpips(
+            jax.random.key(1), image_size=HW,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        )
+        lpips_apply = lambda v, x, y: lpips_model.apply(v, x, y)
+        prepare = make_resident_prepare(corpus, b, T)
+        raw = {"frames": corpus.frames, "landmarks": corpus.landmarks}
+        key = jax.random.key(2)
+
+        if spc > 1:
+            multi = make_multi_step(
+                model, spc, lpips_apply=lpips_apply, prepare_fn=prepare,
+                donate=False, scan_batches=False,
+            )
+            keys = jax.random.split(key, spc)
+
+            def run_once(state):
+                return multi(state, raw, lpips_vars, keys)
+        else:
+            step = make_train_step(
+                model, lpips_apply=lpips_apply, prepare_fn=prepare,
+                donate=False,
+            )
+
+            def run_once(state):
+                return step(state, raw, lpips_vars, key)
+
+        for _ in range(WARMUP):
+            state, m = run_once(state)
+        float(m["loss"])  # host read: reliable sync
+
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, m = run_once(state)
+        float(m["loss"])
+        dt = time.perf_counter() - t0
+        fps = b * T * max(spc, 1) * ITERS / dt
+    name = f"e2e_train_frames_per_sec_resident_b{b}"
+    if spc > 1:
+        name += f"_scan{spc}"
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
+            }
+        )
+    )
+
+
 def bench_multi(k: int = 8):
     """K distinct optimizer steps per dispatch via lax.scan
     (train_step.make_multi_step) — measures launch-overhead-amortized
@@ -324,13 +415,16 @@ def bench_gan(scan: int = 0):
     )
 
 
-def bench_stream(batch: int = 1):
+def bench_stream(batch: int = 1, frames_per_call: int = 1):
     """Online serving latency: frame-at-a-time swap inference through the
     streaming path (faceoff_tpu.serve.streaming) on the flagship model at
     256px — the latency-critical deployment mode (one device program per
     frame, 3-frame pipeline delay). batch > 1 = that many CONCURRENT
     independent streams per program (multi-tenant serving): latency is
-    per frame-step, aggregate throughput is batch/latency."""
+    per frame-step, aggregate throughput is batch/latency.
+    frames_per_call > 1 = K frames per dispatch via push_many (ring
+    buffers advance inside a lax.scan) — amortizes the relay RTT over K
+    frames; the reported value is the amortized ms/frame."""
     from faceoff_tpu.models import VQVAE
     from faceoff_tpu.serve import StreamingSwapper
 
@@ -346,45 +440,62 @@ def bench_stream(batch: int = 1):
     sw = StreamingSwapper(
         model, variables, height=HW, width=HW, batch=batch
     )
+    k = max(1, frames_per_call)
     frame = jax.random.uniform(
         jax.random.key(1), (batch, HW, HW, 6), minval=-1, maxval=1
     )
 
     import numpy as np
 
-    for _ in range(sw.delay + 2):  # compile + warm the pipeline
-        out = sw.push(frame)
+    if k > 1:
+        frames_k = jnp.broadcast_to(frame, (k,) + frame.shape)
+
+        def push_once():
+            return sw.push_many(frames_k)[-1]
+    else:
+        def push_once():
+            return sw.push(frame)
+
+    for _ in range(max(1, (sw.delay + 2 + k - 1) // k)):  # compile + warm
+        out = push_once()
     np.asarray(out)
 
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        out = sw.push(frame)
-        np.asarray(out)  # device->host read per frame: real latency
-        lat.append(time.perf_counter() - t0)
+        out = push_once()
+        np.asarray(out)  # device->host read per call: real latency
+        lat.append((time.perf_counter() - t0) / k)
     ms = sorted(x * 1e3 for x in lat)
     p50 = ms[len(ms) // 2]
     fps = batch * 1e3 / p50
+    name = "stream_swap_latency_ms_per_frame_256px"
+    if batch > 1:
+        name += f"_b{batch}"
+    if k > 1:
+        name += f"_k{k}"
     print(
         json.dumps(
             {
-                "metric": f"stream_swap_latency_ms_per_frame_256px_b{batch}"
-                if batch > 1 else "stream_swap_latency_ms_per_frame_256px",
+                "metric": name,
                 "value": round(p50, 2),
-                "unit": "ms/frame (p50)",
+                "unit": "ms/frame (p50)" if k == 1
+                else f"ms/frame (p50, amortized over {k}/dispatch)",
                 "vs_baseline": round(fps / REF_FPS_PER_GPU_EST, 3),
             }
         )
     )
 
 
-def bench_swap_session():
+def bench_swap_session(frames_per_call: int = 1):
     """Full online SwapSession latency: HOST (frame, landmarks) pairs in,
     swapped frame out — covers the host->device transfer path (src+tgt
     stacked into one uint8 put + one landmark put per frame) fused with
     the cross-identity geometry and the streaming VQVAE forward. This is
     the end-user live-serving number; `--mode stream` measures only the
-    device-side frame-step."""
+    device-side frame-step. frames_per_call > 1 = push_many: K frame
+    pairs ride ONE transfer + ONE dispatch (amortized ms/frame
+    reported)."""
     import numpy as np
 
     from faceoff_tpu.models import VQVAE
@@ -404,25 +515,39 @@ def bench_swap_session():
     frame = rng.integers(0, 256, (HW, HW, 3), dtype=np.uint8)
     # plausible in-frame landmarks (the geometry only needs a sane hull)
     lms = (rng.uniform(0.3, 0.7, (68, 2)) * HW).astype(np.float32)
+    k = max(1, frames_per_call)
 
-    for _ in range(sess.delay + 2):  # compile + warm the pipeline
-        out = sess.push(frame, lms, frame, lms)
+    if k > 1:
+        fk, lk = [frame] * k, [lms] * k
+
+        def push_once():
+            return sess.push_many(fk, lk, fk, lk)[-1]
+    else:
+        def push_once():
+            return sess.push(frame, lms, frame, lms)
+
+    for _ in range(max(1, (sess.delay + 2 + k - 1) // k)):  # compile + warm
+        out = push_once()
     np.asarray(out)
 
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        out = sess.push(frame, lms, frame, lms)
-        np.asarray(out)  # device->host read per frame: real latency
-        lat.append(time.perf_counter() - t0)
+        out = push_once()
+        np.asarray(out)  # device->host read per call: real latency
+        lat.append((time.perf_counter() - t0) / k)
     ms = sorted(x * 1e3 for x in lat)
     p50 = ms[len(ms) // 2]
+    name = "swap_session_latency_ms_per_frame_256px"
+    if k > 1:
+        name += f"_k{k}"
     print(
         json.dumps(
             {
-                "metric": "swap_session_latency_ms_per_frame_256px",
+                "metric": name,
                 "value": round(p50, 2),
-                "unit": "ms/frame (p50, host frames in)",
+                "unit": "ms/frame (p50, host frames in)" if k == 1
+                else f"ms/frame (p50, host frames in, {k}/dispatch)",
                 "vs_baseline": round(
                     (1e3 / p50) / REF_FPS_PER_GPU_EST, 3
                 ),
@@ -516,15 +641,19 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["step", "multi", "e2e", "e2e_host", "stream",
-                 "swap_session", "infer", "gan"],
+        choices=["step", "multi", "e2e", "e2e_host", "e2e_resident",
+                 "stream", "swap_session", "infer", "gan"],
         default="step",
         help="step: device-only train step (driver default); "
              "multi: K steps per dispatch via lax.scan; "
              "e2e: incl. input pipeline with on-device geometry; "
              "e2e_host: incl. input pipeline with host cv2 geometry; "
+             "e2e_resident: device-RESIDENT corpus — staging + fused "
+             "sampling/geometry/train, zero per-step host traffic "
+             "(--scan K folds K optimizer steps per dispatch); "
              "stream: online frame-at-a-time serving latency "
-             "(--batch N = N concurrent streams); "
+             "(--batch N = N concurrent streams; --frames_per_call K "
+             "amortizes one dispatch over K frames); "
              "infer: offline eval-forward serving throughput; "
              "gan: adversarial-stage throughput (--scan K for the "
              "pair-scan path)",
@@ -535,6 +664,10 @@ if __name__ == "__main__":
                          "stream/infer modes default 1)")
     ap.add_argument("--scan", type=int, default=0,
                     help="gan mode: K iterations per dispatch (0 = off)")
+    ap.add_argument("--frames_per_call", type=int, default=1,
+                    help="stream/swap_session modes: K frames per "
+                         "dispatch via push_many (lax.scan over the ring "
+                         "buffers) — the serving twin of --steps_per_call")
     ap.add_argument("--remat", action="store_true",
                     help="step mode: rematerialize enc/dec activations in "
                          "the backward (HBM-traffic vs recompute A/B)")
@@ -552,12 +685,15 @@ if __name__ == "__main__":
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":
-        bench_stream(batch=cli.batch or 1)
+        bench_stream(batch=cli.batch or 1,
+                     frames_per_call=cli.frames_per_call)
     elif mode == "swap_session":
-        bench_swap_session()
+        bench_swap_session(frames_per_call=cli.frames_per_call)
     elif mode == "infer":
         bench_infer(batch=cli.batch or 1)
     elif mode == "gan":
         bench_gan(scan=cli.scan)
+    elif mode == "e2e_resident":
+        bench_resident(batch=cli.batch or 16, spc=max(1, cli.scan))
     else:
         bench_e2e(device_pipeline=(mode == "e2e"), batch=cli.batch or 1)

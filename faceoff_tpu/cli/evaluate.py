@@ -37,7 +37,8 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--max_batches", type=int, default=16)
-    p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--lpips_weights", default=None,
+                   help=".npz from tools/convert_lpips.py, or 'auto'")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--naive_baseline", choices=["paste", "poisson"],
                    default=None,

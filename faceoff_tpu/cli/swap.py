@@ -63,6 +63,11 @@ def build_parser():
                    help="frame-at-a-time online inference (constant memory, "
                         "3-frame latency) instead of chunked batches; "
                         "prints per-frame latency stats")
+    p.add_argument("--frames_per_call", type=int, default=1,
+                   help="streaming: K frames per device dispatch via "
+                        "push_many (one relay round trip per K frames — "
+                        "amortizes dispatch latency without adding model "
+                        "delay)")
     common.add_model_flags(p)
     return p
 
@@ -181,15 +186,31 @@ def _run_streaming(args, model, state, sources, backgrounds):
     sw = StreamingSwapper(
         model, variables, height=args.size, width=args.size
     )
+    k = max(1, getattr(args, "frames_per_call", 1))
     frames_out, lat_ms = [], []
-    for src, bg in zip(sources, backgrounds):
-        frame = np.concatenate([src, bg], axis=-1)[None]
-        t0 = time.perf_counter()
-        out = sw.push(jnp.asarray(frame))
-        if out is not None:
-            out = np.asarray(out)  # device->host read: real sync
-            lat_ms.append((time.perf_counter() - t0) * 1e3)
-            frames_out.append(denormalize(out[0, ..., :3]))
+    if k > 1:
+        stacked = [
+            np.concatenate([s, b], axis=-1)[None]
+            for s, b in zip(sources, backgrounds)
+        ]
+        for i in range(0, len(stacked), k):
+            group = stacked[i: i + k]
+            t0 = time.perf_counter()
+            outs = sw.push_many(jnp.asarray(np.stack(group)))
+            if outs:
+                outs = [np.asarray(o) for o in outs]  # real sync
+                dt_ms = (time.perf_counter() - t0) * 1e3
+                lat_ms += [dt_ms / len(group)] * len(outs)
+                frames_out += [denormalize(o[0, ..., :3]) for o in outs]
+    else:
+        for src, bg in zip(sources, backgrounds):
+            frame = np.concatenate([src, bg], axis=-1)[None]
+            t0 = time.perf_counter()
+            out = sw.push(jnp.asarray(frame))
+            if out is not None:
+                out = np.asarray(out)  # device->host read: real sync
+                lat_ms.append((time.perf_counter() - t0) * 1e3)
+                frames_out.append(denormalize(out[0, ..., :3]))
     for out in sw.flush():
         frames_out.append(denormalize(np.asarray(out)[0, ..., :3]))
     if len(lat_ms) > 2:

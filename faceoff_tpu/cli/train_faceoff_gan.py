@@ -35,7 +35,7 @@ from faceoff_tpu.models.discriminators import (
     PatchImageDiscriminator,
     PatchVideoDiscriminator,
 )
-from faceoff_tpu.models.lpips import init_lpips
+from faceoff_tpu.models.lpips import init_lpips, resolve_lpips_weights
 from faceoff_tpu.io.checkpoint import CheckpointManager
 from faceoff_tpu.parallel import (
     collectives,
@@ -108,7 +108,10 @@ def build_parser():
     p.add_argument("--val_frames", type=int, default=30)
     p.add_argument("--val_batches", type=int, default=2)
     p.add_argument("--log_every", type=int, default=10)
-    p.add_argument("--lpips_weights", default=None)
+    p.add_argument("--lpips_weights", default=None,
+                   help=".npz from tools/convert_lpips.py, or 'auto' to "
+                        "probe standard locations and auto-convert torch "
+                        "checkpoints")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps", type=int, default=None,
                    help="optional cap on total steps (smoke runs); with "
@@ -117,6 +120,14 @@ def build_parser():
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(mocoganhd recipe only)")
+    p.add_argument("--resident_data", action="store_true",
+                   help="stage the whole decoded corpus into device HBM "
+                        "once; clip sampling + geometry fuse into the "
+                        "gen/disc steps (mocoganhd recipe, "
+                        "steps_per_call=1)")
+    p.add_argument("--resident_max_frames", type=int, default=None,
+                   help="cap decoded frames per video when staging the "
+                        "resident corpus")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="K alternating gen/disc iterations per dispatch "
                         "via lax.scan (mocoganhd only; even K). Use ONLY "
@@ -212,7 +223,38 @@ def main(argv=None):
     if args.steps_per_call > 1 and args.steps_per_call % 2 != 0:
         raise SystemExit("--steps_per_call must be even "
                          "(gen/disc pairs per dispatch)")
-    if args.device_pipeline:
+    if args.resident_data:
+        if args.gan != "mocoganhd":
+            raise SystemExit("--resident_data currently supports "
+                             "--gan mocoganhd only")
+        if args.steps_per_call > 1:
+            raise SystemExit("--resident_data supports steps_per_call=1 "
+                             "(the resident step already fuses input prep "
+                             "— there is no per-step dispatch to amortize)")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from faceoff_tpu.data.resident import (
+            ResidentBatches,
+            build_resident_corpus,
+            make_resident_prepare,
+        )
+
+        corpus = build_resident_corpus(
+            ds, max_frames_per_video=args.resident_max_frames,
+            sharding=NamedSharding(mesh, P()),
+        )
+        print(
+            f"resident corpus staged: {corpus.n_videos} videos, "
+            f"{corpus.nbytes / 2**20:.0f} MiB in HBM", flush=True,
+        )
+        prepare_fn = make_resident_prepare(
+            corpus, local_clips, args.train_frames
+        )
+        loader = ResidentBatches(
+            corpus, max(1, len(ds) // local_clips),
+            clips_per_step=local_clips, clip_len=args.train_frames,
+        )
+    elif args.device_pipeline:
         if args.gan != "mocoganhd":
             raise SystemExit("--device_pipeline currently supports "
                              "--gan mocoganhd only")
@@ -258,7 +300,7 @@ def main(argv=None):
     # adversarial-quality tracking, so build them unconditionally
     lpips_model, fd_lpips_vars = init_lpips(
         jax.random.key(args.seed + 1), image_size=args.size,
-        weights_npz=args.lpips_weights,
+        weights_npz=resolve_lpips_weights(args.lpips_weights),
     )
     lpips_apply = lpips_vars = None
     if args.perceptual or args.gan == "vqgan":
@@ -275,7 +317,7 @@ def main(argv=None):
     def adv_scale_at(step_count):
         return adv_scale_schedule(
             step_count, start=args.adversarial_start,
-            ramp=args.adversarial_ramp, step0=step0,
+            ramp=args.adversarial_ramp,
         )
 
     multi_step = None
@@ -311,9 +353,11 @@ def main(argv=None):
             # alternate gen/disc (reference :187-190); metrics stay device
             # scalars — float() reads are deferred to the log cadence
             if step_count % 2 == 0:
-                return gen_step(
-                    state, batch, key, lpips_vars, adv_scale_at(step_count)
-                )
+                scale = adv_scale_at(step_count)
+                state, m = gen_step(state, batch, key, lpips_vars, scale)
+                # logged so resume continuity is auditable (and testable):
+                # the ramp weight is an absolute-step schedule
+                return state, {**m, "adv_scale": scale}
             return disc_step(state, batch, key)
 
     elif args.gan == "mocogan":
@@ -534,7 +578,11 @@ def main(argv=None):
                         step_count += 1
                         pending.append((step_count, epoch, m_j))
             else:
-                batch = shard_batch(batch, mesh)
+                if not args.resident_data:
+                    # resident batches are already staged (replicated) on
+                    # the mesh; sharding the corpus over 'data' would both
+                    # copy it and force cross-chip gathers per step
+                    batch = shard_batch(batch, mesh)
                 state, m = run_step(state, batch, step_count, base_key)
                 step_count += 1
                 pending.append((step_count, epoch, m))

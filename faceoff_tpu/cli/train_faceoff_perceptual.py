@@ -28,7 +28,7 @@ from faceoff_tpu.cli import common
 from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader
 from faceoff_tpu.models import VQVAE
-from faceoff_tpu.models.lpips import init_lpips
+from faceoff_tpu.models.lpips import init_lpips, resolve_lpips_weights
 from faceoff_tpu.parallel import collectives, make_mesh
 from faceoff_tpu.train import (
     create_train_state,
@@ -64,7 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_frames", type=int, default=50)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--lpips_weights", type=str, default=None,
-                   help=".npz from tools/convert_lpips.py")
+                   help=".npz from tools/convert_lpips.py, or 'auto' to "
+                        "probe standard locations (cwd vgg.pth / "
+                        "lpips_weights.npz, $FACEOFF_LPIPS_WEIGHTS, torch "
+                        "hub cache) and auto-convert torch checkpoints")
     p.add_argument("--no_pallas", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize enc/dec activations in the backward "
@@ -73,6 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(host workers only decode JPEGs)")
+    p.add_argument("--resident_data", action="store_true",
+                   help="stage the WHOLE decoded corpus into device HBM "
+                        "once; clip sampling + geometry fuse into the "
+                        "train step (zero per-step host traffic — the "
+                        "trainer then runs at the device step rate). "
+                        "Implies the on-device geometry of "
+                        "--device_pipeline")
+    p.add_argument("--resident_max_frames", type=int, default=None,
+                   help="cap decoded frames per video when staging the "
+                        "resident corpus (HBM guard for long videos)")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help=">1: scan that many optimizer steps per dispatch "
                         "(amortizes launch overhead)")
@@ -197,7 +210,35 @@ def build_everything(args):
         exclude_list=args.exclude_list,
     )
     prepare_fn = None
-    if args.device_pipeline:
+    if args.resident_data:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from faceoff_tpu.data.resident import (
+            ResidentBatches,
+            build_resident_corpus,
+            make_resident_prepare,
+        )
+
+        corpus = build_resident_corpus(
+            train_ds,
+            max_frames_per_video=args.resident_max_frames,
+            sharding=NamedSharding(mesh, P()),
+        )
+        print(
+            f"resident corpus staged: {corpus.n_videos} videos, "
+            f"{corpus.frames.shape[1]} max frames, "
+            f"{corpus.nbytes / 2**20:.0f} MiB in HBM", flush=True,
+        )
+        prepare_fn = make_resident_prepare(
+            corpus, local_clips, cfg.data.train_frames,
+            color_jitter=args.colorjit,
+        )
+        steps_per_epoch = max(1, len(train_ds) // local_clips)
+        train_loader = ResidentBatches(
+            corpus, steps_per_epoch, args.steps_per_call,
+            clips_per_step=local_clips, clip_len=cfg.data.train_frames,
+        )
+    elif args.device_pipeline:
         import functools
 
         from faceoff_tpu.data.device_pipeline import (
@@ -245,7 +286,7 @@ def build_everything(args):
     lpips_model, lpips_vars = init_lpips(
         jax.random.key(args.seed + 1),
         image_size=args.size,
-        weights_npz=args.lpips_weights,
+        weights_npz=resolve_lpips_weights(args.lpips_weights),
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
@@ -260,7 +301,11 @@ def build_everything(args):
         from faceoff_tpu.train.train_step import make_multi_step
 
         train_step = make_multi_step(
-            model, args.steps_per_call, **step_kwargs
+            model, args.steps_per_call,
+            # resident corpus: the scan body reuses ONE constant staged
+            # batch (no leading K axis of stacked micro-batches)
+            scan_batches=not args.resident_data,
+            **step_kwargs,
         )
     else:
         train_step = make_train_step(model, **step_kwargs)

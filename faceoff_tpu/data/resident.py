@@ -1,0 +1,239 @@
+"""Device-resident corpus: the whole decoded dataset staged into HBM once,
+clip sampling + geometry fused into the train step. Zero per-step host
+traffic.
+
+Why this exists: the reference's defining bottleneck is its input pipeline
+— cv2/Wand geometry on CPU workers at batch size 1 (reference
+utils.py:69-73, SURVEY §3.1 hot loop (e)). Round 3 moved the geometry onto
+the device (data/device_pipeline.py) but still decoded + transferred every
+batch from the host, so the end-to-end trainer ran at 142-164 frames/s
+while the pure device step ran at ~620 — the transfer and per-step
+dispatch through the accelerator link dominated. A face-swap training
+corpus is small (the reference trains ONE video at a time; even a
+multi-video corpus is tens of clips — ~450 MB decoded at 256px), so the
+round-4 answer is to keep the entire corpus in HBM:
+
+    stage once:   frames (V, Fmax, H, W, 3) uint8 + landmarks + lengths
+    every step:   sample B clip windows, hull/perturb/composite, train —
+                  all inside ONE jitted program; the host only dispatches.
+
+The sampled windows honor the dataset's policies (random start clamped to
+the video length, short videos repeat their last frame —
+data/dataset.py _sample_window) and the perturbation distribution is the
+same device engine the streaming pipeline uses
+(data/device_pipeline.prepare_train_batch).
+
+Multi-chip: the corpus replicates over the mesh; sampled clip indices
+shard over 'data', so each chip gathers its own clips from its local copy
+— no per-step collectives are added.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faceoff_tpu.data.device_pipeline import prepare_train_batch
+
+
+class ResidentCorpus:
+    """The staged corpus. Arrays live wherever `sharding` put them
+    (default: replicated on the default device set).
+
+    frames:    (V, Fmax, H, W, 3) uint8
+    landmarks: (V, Fmax, 68, 2) float32
+    n_frames:  (V,) int32 — true frame count per video (padding beyond it
+               repeats the last real frame at sample time)
+    """
+
+    def __init__(self, frames, landmarks, n_frames):
+        self.frames = frames
+        self.landmarks = landmarks
+        self.n_frames = n_frames
+
+    @property
+    def n_videos(self) -> int:
+        return int(self.frames.shape[0])
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.frames.nbytes + self.landmarks.nbytes)
+
+
+def estimate_corpus_bytes(
+    n_videos: int, max_frames: int, resolution: int
+) -> int:
+    return n_videos * max_frames * (
+        resolution * resolution * 3 + 68 * 2 * 4
+    )
+
+
+def build_resident_corpus(
+    dataset,
+    *,
+    max_frames_per_video: Optional[int] = None,
+    sharding=None,
+    hbm_budget_bytes: Optional[int] = 8 << 30,
+) -> ResidentCorpus:
+    """Decode EVERY frame of every video in `dataset`
+    (data.dataset.TemporalAlignmentDataset) and stage the padded stacks to
+    the accelerator.
+
+    max_frames_per_video caps decoding for pathologically long videos
+    (sampling still covers the kept prefix). hbm_budget_bytes guards
+    against silently evicting the model: staging raises before the
+    device_put if the estimate exceeds it (None disables).
+    """
+    from faceoff_tpu.data.dataset import _landmark_paths, load_window_frames
+
+    per_video = []
+    fmax = 0
+    for vdir in dataset.videos:
+        paths = _landmark_paths(vdir)
+        if max_frames_per_video is not None:
+            paths = paths[:max_frames_per_video]
+        fmax = max(fmax, len(paths))
+        per_video.append(paths)
+
+    est = estimate_corpus_bytes(
+        len(per_video), fmax, dataset.resolution
+    )
+    if hbm_budget_bytes is not None and est > hbm_budget_bytes:
+        raise MemoryError(
+            f"resident corpus would need ~{est / 2**30:.2f} GiB "
+            f"({len(per_video)} videos x {fmax} frames at "
+            f"{dataset.resolution}px) > budget "
+            f"{hbm_budget_bytes / 2**30:.2f} GiB — cap "
+            f"max_frames_per_video or fall back to --device_pipeline"
+        )
+
+    res = dataset.resolution
+    frames = np.zeros((len(per_video), fmax, res, res, 3), np.uint8)
+    landmarks = np.zeros((len(per_video), fmax, 68, 2), np.float32)
+    n_frames = np.zeros((len(per_video),), np.int32)
+    for v, paths in enumerate(per_video):
+        f, l = load_window_frames(paths, res)
+        frames[v, : len(paths)] = f
+        landmarks[v, : len(paths)] = l
+        n_frames[v] = len(paths)
+
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else jax.device_put
+    return ResidentCorpus(
+        put(frames), put(landmarks), put(jnp.asarray(n_frames))
+    )
+
+
+def sample_clip_windows(
+    key: jax.Array,
+    frames: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    n_frames: jnp.ndarray,
+    batch_clips: int,
+    clip_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample `batch_clips` random clip windows of `clip_len` frames from
+    the staged corpus — the device twin of the host sampler
+    (data/dataset.py _sample_window: uniform video, uniform clamped start,
+    short videos repeat their last frame).
+
+    Returns (clips (B, T, H, W, 3) uint8, lms (B, T, 68, 2) float32).
+    """
+    kv, ks = jax.random.split(key)
+    n_videos = frames.shape[0]
+    vids = jax.random.randint(kv, (batch_clips,), 0, n_videos)
+    hi = jnp.maximum(n_frames[vids] - clip_len, 0)  # (B,) inclusive max
+    # per-clip uniform integer in [0, hi]: uniform float x (hi + 1), floored
+    u = jax.random.uniform(ks, (batch_clips,))
+    starts = jnp.floor(u * (hi + 1).astype(jnp.float32)).astype(jnp.int32)
+    starts = jnp.minimum(starts, hi)
+    idx = starts[:, None] + jnp.arange(clip_len, dtype=jnp.int32)[None, :]
+    # repeat-last-frame padding for videos shorter than the clip
+    idx = jnp.minimum(idx, jnp.maximum(n_frames[vids] - 1, 0)[:, None])
+    clips = frames[vids[:, None], idx]
+    lms = landmarks[vids[:, None], idx]
+    return clips, lms
+
+
+def make_resident_prepare(
+    corpus: ResidentCorpus,
+    batch_clips: int,
+    clip_len: int,
+    *,
+    color_jitter: str = "",
+) -> Callable:
+    """`prepare_fn(key, frames, landmarks) -> batch` for
+    train_step.make_train_step / gan.make_gan_steps: `frames`/`landmarks`
+    ARE the full staged corpus (passed as the constant per-step batch);
+    sampling + hull/perturb/composite all trace into the train step.
+
+    The per-video frame counts are captured by closure — they ride into
+    the jitted program as a small constant input."""
+    n_frames = corpus.n_frames
+
+    def prepare(key, frames, landmarks):
+        k_sample, k_prep = jax.random.split(key)
+        clips, lms = sample_clip_windows(
+            k_sample, frames, landmarks, n_frames, batch_clips, clip_len
+        )
+        return prepare_train_batch(
+            k_prep, clips, lms, color_jitter=color_jitter
+        )
+
+    return prepare
+
+
+class ResidentBatches:
+    """Trainer-compatible 'loader' over a staged corpus: every iteration
+    yields the SAME device-resident raw batch
+    ({"frames": corpus.frames, "landmarks": corpus.landmarks}) — the
+    jitted step's prepare_fn does the actual sampling, keyed by the
+    on-device step counter, so consecutive steps see fresh clips without
+    any host work.
+
+    len() reports the epoch's OPTIMIZER steps (what Trainer.fit's budget
+    accounting consumes); with steps_per_call = K the iterator yields
+    max(1, floor(steps_per_epoch / K)) batches, each worth K steps, and
+    len() is exactly that times K — so fit's effective-steps-per-epoch
+    resume math ((len // K) * K) matches delivery EXACTLY, and a tiny
+    corpus (steps_per_epoch < K) still trains one dispatch per epoch
+    instead of silently doing nothing.
+    """
+
+    is_resident = True
+
+    def __init__(
+        self,
+        corpus: ResidentCorpus,
+        steps_per_epoch: int,
+        steps_per_call: int = 1,
+        *,
+        clips_per_step: int = 1,
+        clip_len: int = 1,
+    ):
+        if steps_per_epoch < 1:
+            raise ValueError("steps_per_epoch must be >= 1")
+        self.corpus = corpus
+        self.steps_per_call = max(1, steps_per_call)
+        self.calls_per_epoch = max(
+            1, steps_per_epoch // self.steps_per_call
+        )
+        self.steps_per_epoch = self.calls_per_epoch * self.steps_per_call
+        # sampling config mirrored for the trainer's frames-trained
+        # accounting (the batch itself carries corpus shapes, not (B, T))
+        self.clips_per_step = clips_per_step
+        self.clip_len = clip_len
+        self._batch = {
+            "frames": corpus.frames,
+            "landmarks": corpus.landmarks,
+        }
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    def __iter__(self):
+        for _ in range(self.calls_per_epoch):
+            yield self._batch

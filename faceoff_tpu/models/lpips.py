@@ -95,6 +95,107 @@ class LPIPS(nn.Module):
         return jnp.mean(total)
 
 
+def discover_lpips_weights(verbose: bool = True) -> Optional[str]:
+    """Resolve `--lpips_weights auto`: probe standard drop locations for
+    converted `.npz` weights or raw torch checkpoints, auto-converting the
+    latter with the test-proven converter (tools/convert_lpips.py; torch
+    is in-env). Returns an `.npz` path, or None — callers must then fall
+    back LOUDLY to the fixed-seed random VGG and tag their metrics
+    `*_random_vgg`.
+
+    Search order (first hit wins):
+      1. $FACEOFF_LPIPS_WEIGHTS (either format)
+      2. ./lpips_weights.npz, ./vgg.pth (cwd), and the same next to the
+         package root
+      3. ~/.cache/faceoff_tpu/lpips_weights.npz (previous auto-conversion)
+      4. torch caches: $TORCH_HOME or ~/.cache/torch/hub/checkpoints/
+         {vgg.pth, vgg16-397923af.pth} — where torchvision and the
+         reference's downloader leave them (reference models/lpips.py:40-48
+         fetches the taming `vgg.pth` with the learned lin heads)
+    """
+    import os
+    import os.path as osp
+
+    home = osp.expanduser("~")
+    torch_home = os.environ.get(
+        "TORCH_HOME", osp.join(home, ".cache", "torch")
+    )
+    pkg_root = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+    cache_npz = osp.join(
+        home, ".cache", "faceoff_tpu", "lpips_weights.npz"
+    )
+    candidates = []
+    env = os.environ.get("FACEOFF_LPIPS_WEIGHTS")
+    if env:
+        candidates.append(env)
+    for base in (os.getcwd(), pkg_root):
+        candidates += [
+            osp.join(base, "lpips_weights.npz"), osp.join(base, "vgg.pth")
+        ]
+    candidates.append(cache_npz)
+    candidates += [
+        osp.join(torch_home, "hub", "checkpoints", "vgg.pth"),
+        osp.join(torch_home, "hub", "checkpoints", "vgg16-397923af.pth"),
+    ]
+
+    for path in candidates:
+        if not path or not osp.isfile(path):
+            continue
+        if path.endswith(".npz"):
+            if verbose:
+                print(f"lpips auto: using converted weights {path}",
+                      flush=True)
+            return path
+        # torch checkpoint: convert once, cache the npz
+        try:
+            import sys
+
+            tools_dir = osp.join(pkg_root, "tools")
+            if tools_dir not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from tools.convert_lpips import convert
+
+            try:
+                arrays = convert(lpips_path=path)  # full LPIPS state dict
+            except KeyError:
+                arrays = convert(vgg16_path=path)  # bare torchvision VGG16
+                if verbose:
+                    print(
+                        f"lpips auto: {path} has no learned lin heads "
+                        "(bare VGG16) — converting the trunk only",
+                        flush=True,
+                    )
+            os.makedirs(osp.dirname(cache_npz), exist_ok=True)
+            np.savez(cache_npz, **arrays)
+            if verbose:
+                print(
+                    f"lpips auto: converted {path} -> {cache_npz} "
+                    f"({len(arrays)} arrays)", flush=True,
+                )
+            return cache_npz
+        except Exception as e:  # unreadable/foreign checkpoint: keep looking
+            if verbose:
+                print(f"lpips auto: could not convert {path}: {e}",
+                      flush=True)
+    if verbose:
+        print(
+            "lpips auto: no weights found (drop a vgg.pth or "
+            "lpips_weights.npz in the working directory, or set "
+            "$FACEOFF_LPIPS_WEIGHTS) — falling back to the fixed-seed "
+            "RANDOM VGG; perceptual metrics are NOT reference-comparable "
+            "and are reported as *_random_vgg", flush=True,
+        )
+    return None
+
+
+def resolve_lpips_weights(arg: Optional[str]) -> Optional[str]:
+    """CLI helper: pass `--lpips_weights` values through, expanding the
+    literal 'auto' via discover_lpips_weights()."""
+    if arg == "auto":
+        return discover_lpips_weights()
+    return arg
+
+
 def init_lpips(
     key: jax.Array,
     image_size: int = 64,

@@ -14,12 +14,15 @@ Backends, best-first:
   * MediapipeDetector / FaceAlignmentLandmarker — used when the libraries
     are importable (drop-in parity with the reference).
   * OpenCV FaceDetectorYN — used when an ONNX model path is supplied.
-  * HeuristicDetector / BoxLandmarker — self-contained fallback: skin-prior
-    + largest-connected-region detection, and 68 landmarks synthesized from
-    the face box with the canonical iBUG layout. Geometry-only: good enough
-    to exercise/benchmark the full pipeline and for stylized footage, NOT
-    for production-quality real-face landmarks — install mediapipe/
-    face_alignment for that.
+  * HeuristicDetector + FlowTrackingLandmarker — self-contained fallback:
+    skin-prior + largest-connected-region detection; 68 landmarks
+    synthesized from the face box with the canonical iBUG layout, then
+    TRACKED frame-to-frame with pyramidal Lucas-Kanade optical flow
+    (forward-backward checked, drift-re-detected) so the layout carries
+    real per-point expression/pose motion. Still not production-quality
+    real-face landmarks — install mediapipe/face_alignment for that —
+    but far beyond the rigid box synthesis of rounds 1-3.
+  * BoxLandmarker — the bare rigid synthesis, kept for comparison/tests.
 """
 
 from __future__ import annotations
@@ -150,6 +153,133 @@ class BoxLandmarker:
         return out
 
 
+class FlowTrackingLandmarker:
+    """BoxLandmarker upgraded with pyramidal Lucas-Kanade point tracking:
+    detect the canonical 68-point layout once, then TRACK each point
+    frame-to-frame with cv2.calcOpticalFlowPyrLK (forward-backward
+    consistency check), re-detecting on drift or track loss.
+
+    Why: the rigid box synthesis gives every frame the same layout up to
+    the box transform, so the self-supervised training signal carries no
+    non-rigid facial motion and cross-identity alignment is box-accurate
+    only. Per-point LK tracking recovers the actual expression/pose motion
+    the reference corpus carries via face_alignment landmarks (reference
+    preprocessing/landmark_generation.py:58-118) — pure cv2, no new
+    dependencies.
+
+    Per frame: track all 68 points forward, track the results backward,
+    keep points whose round trip lands within `fb_thresh` px. Lost points
+    are re-anchored by the similarity transform fitted on the surviving
+    points (so they move rigidly-with-the-face instead of sticking).
+    When fewer than `min_valid_frac` survive, or the tracked hull center
+    drifts more than half a box size from the detector's current box, the
+    layout re-detects from scratch.
+    """
+
+    # the preprocess driver feeds trackers whole clips (no chunk resets)
+    tracks_across_frames = True
+
+    def __init__(
+        self,
+        detector=None,
+        *,
+        fb_thresh: float = 1.5,
+        min_valid_frac: float = 0.6,
+        win_size: int = 21,
+        max_level: int = 3,
+    ):
+        self.detector = detector or default_detector()
+        self._base = BoxLandmarker(self.detector)
+        self.fb_thresh = fb_thresh
+        self.min_valid_frac = min_valid_frac
+        self._lk = dict(
+            winSize=(win_size, win_size),
+            maxLevel=max_level,
+            criteria=(
+                cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01
+            ),
+        )
+
+    def _track(self, prev_gray, gray, prev_pts):
+        """One LK step with forward-backward check. Returns
+        (points (68, 2) float32, valid (68,) bool) or None on failure."""
+        p0 = prev_pts.reshape(-1, 1, 2).astype(np.float32)
+        p1, st, _ = cv2.calcOpticalFlowPyrLK(
+            prev_gray, gray, p0, None, **self._lk
+        )
+        if p1 is None:
+            return None
+        p0_back, st_back, _ = cv2.calcOpticalFlowPyrLK(
+            gray, prev_gray, p1, None, **self._lk
+        )
+        if p0_back is None:
+            return None
+        fb = np.linalg.norm(
+            (p0_back - p0).reshape(-1, 2), axis=1
+        )
+        valid = (
+            (st.reshape(-1) == 1)
+            & (st_back.reshape(-1) == 1)
+            & (fb < self.fb_thresh)
+        )
+        return p1.reshape(-1, 2).astype(np.float32), valid
+
+    def _fill_lost(self, prev_pts, pts, valid):
+        """Re-anchor lost points with the similarity transform fitted on
+        the surviving ones (they move with the face, not freeze)."""
+        if valid.all():
+            return pts
+        from faceoff_tpu.data.geometry import umeyama_similarity
+
+        if valid.sum() >= 3:
+            M = umeyama_similarity(prev_pts[valid], pts[valid])
+            moved = prev_pts[~valid] @ M[:, :2].T + M[:, 2]
+            pts = pts.copy()
+            pts[~valid] = moved.astype(np.float32)
+        else:
+            pts = pts.copy()
+            pts[~valid] = prev_pts[~valid]
+        return pts
+
+    def _drifted(self, pts, frame) -> bool:
+        """Tracked hull center vs the detector's current box center."""
+        box = self.detector.detect(frame)
+        if box is None:
+            return False  # no detection to anchor against: trust the track
+        x1, y1, x2, y2 = box
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        half = max(x2 - x1, y2 - y1) / 2.0
+        center = pts.mean(axis=0)
+        return bool(
+            np.hypot(center[0] - cx, center[1] - cy) > max(half, 1.0)
+        )
+
+    def landmarks(
+        self, frames_rgb: Sequence[np.ndarray]
+    ) -> List[Optional[np.ndarray]]:
+        out: List[Optional[np.ndarray]] = []
+        prev_gray = None
+        prev_pts: Optional[np.ndarray] = None
+        for frame in frames_rgb:
+            gray = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+            pts: Optional[np.ndarray] = None
+            if prev_pts is not None:
+                tracked = self._track(prev_gray, gray, prev_pts)
+                if tracked is not None:
+                    cand, valid = tracked
+                    if (
+                        valid.mean() >= self.min_valid_frac
+                        and not self._drifted(cand, frame)
+                    ):
+                        pts = self._fill_lost(prev_pts, cand, valid)
+            if pts is None:  # first frame, track loss, or drift: re-detect
+                pts = self._base.landmarks([frame])[0]
+            out.append(pts)
+            prev_gray = gray
+            prev_pts = pts
+        return out
+
+
 class FaceAlignmentLandmarker:
     """face_alignment 2D 68-point landmarks with the reference's
     OOM-halving retry (reference landmark_generation.py:104-118)."""
@@ -196,4 +326,6 @@ def default_landmarker():
     try:
         return FaceAlignmentLandmarker()
     except ImportError:
-        return BoxLandmarker()
+        # flow tracking subsumes the rigid box synthesis: same canonical
+        # layout at (re-)detection, real per-point motion in between
+        return FlowTrackingLandmarker()

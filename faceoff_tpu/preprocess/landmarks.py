@@ -49,8 +49,14 @@ def generate_landmarks_for_video(
     resized = [resize_frame(f, resolution) for f in frames]
 
     all_lms: List[Optional[np.ndarray]] = []
-    for i in range(0, len(resized), batch_size):
-        all_lms += landmarker.landmarks(resized[i: i + batch_size])
+    if getattr(landmarker, "tracks_across_frames", False):
+        # trackers carry state frame-to-frame: chunking would reset the
+        # track (and re-anchor to the rigid detection) every batch_size
+        # frames — feed the whole clip in one call
+        all_lms = landmarker.landmarks(resized)
+    else:
+        for i in range(0, len(resized), batch_size):
+            all_lms += landmarker.landmarks(resized[i: i + batch_size])
 
     def valid(lm):
         return lm is not None and lm.shape == (68, 2)

@@ -93,7 +93,7 @@ def export_streaming(
     reproduces it."""
     from faceoff_tpu.serve.streaming import make_stream_steps
 
-    init_state, push_step, flush_step, delay = make_stream_steps(
+    init_state, push_step, flush_step, delay, _ = make_stream_steps(
         model, variables
     )
     state0 = init_state(batch, height, width)

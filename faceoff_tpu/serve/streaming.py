@@ -141,8 +141,7 @@ def make_stream_steps(model: VQVAE, variables, prepare_fn=None):
         new_state = {"bufs_b": bufs_b, "bufs_t": bufs_t, "s": s + 1}
         return new_state, out.astype(jnp.float32)
 
-    @jax.jit
-    def push_step(state, frame):
+    def _push_one(state, frame):
         if prepare_fn is not None:
             frame = prepare_fn(frame)
         enc_b, enc_t = model.apply(
@@ -152,6 +151,19 @@ def make_stream_steps(model: VQVAE, variables, prepare_fn=None):
             state, enc_b[:, 0], enc_t[:, 0], jnp.int32(_FAR_FUTURE)
         )
 
+    push_step = jax.jit(_push_one)
+
+    @jax.jit
+    def push_many_step(state, frames):
+        """K frames per dispatch: `frames` is the per-frame push input
+        with a LEADING time axis on every leaf ((K, B, H, W, in_ch) for
+        plain streams; K-stacked raw pytrees with a prepare_fn). The ring
+        buffers advance inside a lax.scan, so on a dispatch-latency-bound
+        link (a tunneled accelerator: 80-136 ms RTT measured) the per-call
+        overhead amortizes over K frames. Emits the K output slices in
+        order — numerically identical to K push_step calls."""
+        return jax.lax.scan(_push_one, state, frames)
+
     @jax.jit
     def flush_step(state, total):
         ref = state["bufs_b"][0]
@@ -160,7 +172,7 @@ def make_stream_steps(model: VQVAE, variables, prepare_fn=None):
         enc_t = jnp.zeros(ref_t.shape[:1] + ref_t.shape[2:], dtype)
         return _blend_decode(state, enc_b, enc_t, total)
 
-    return init_state, push_step, flush_step, delay
+    return init_state, push_step, flush_step, delay, push_many_step
 
 
 class StreamingSwapper:
@@ -186,9 +198,8 @@ class StreamingSwapper:
         batch: int = 1,
         prepare_fn=None,
     ):
-        self._init_state, self._push, self._flush, self.delay = (
-            make_stream_steps(model, variables, prepare_fn)
-        )
+        (self._init_state, self._push, self._flush, self.delay,
+         self._push_many) = make_stream_steps(model, variables, prepare_fn)
         self._shape = (batch, height, width)
         self.reset()
 
@@ -216,6 +227,28 @@ class StreamingSwapper:
         if self._n_pushed - 1 - self.delay >= 0:
             return out
         return None
+
+    def push_many(self, frames) -> List[jnp.ndarray]:
+        """Feed K frames in ONE device dispatch (the serving twin of the
+        trainer's --steps_per_call): `frames` is the per-frame push input
+        with a leading K axis on every leaf — (K, B, H, W, in_ch) for
+        plain streams, a K-stacked raw pytree with a prepare_fn. Returns
+        the decoded frames that became valid during this call, in input
+        order (numerically identical to K push() calls). On a
+        dispatch-latency-bound link the per-frame cost drops to ~RTT/K."""
+        if self._flushed:
+            raise RuntimeError(
+                "stream already flushed — call reset() before starting a "
+                "new stream"
+            )
+        frames = jax.tree_util.tree_map(jnp.asarray, frames)
+        k = jax.tree_util.tree_leaves(frames)[0].shape[0]
+        prev = self._n_pushed
+        self._state, outs = self._push_many(self._state, frames)
+        self._n_pushed += k
+        # output slice j carries input time prev + j - delay
+        first_valid = max(0, self.delay - prev)
+        return [outs[j] for j in range(first_valid, k)]
 
     def flush(self) -> List[jnp.ndarray]:
         """End the stream: emit the final frames held in the pipeline.
@@ -300,6 +333,31 @@ class SwapSession:
         if out is None:
             return None
         return out[0, ..., :3]
+
+    def push_many(
+        self, src_frames, src_landmarks, tgt_frames, tgt_landmarks
+    ) -> List[jnp.ndarray]:
+        """Feed K (src, tgt) frame pairs in ONE device transfer + ONE
+        dispatch (`--frames_per_call K` in the swap CLI / bench). Inputs
+        are length-K sequences of what push() takes; returns the swapped
+        frames that became valid during the call, in order. Adds no
+        latency beyond the model's fixed `delay` — only the dispatch
+        cadence changes (K frames per relay round trip instead of one)."""
+        import numpy as np
+
+        raw = {
+            "frames": np.stack([
+                np.stack([np.asarray(s), np.asarray(t)])
+                for s, t in zip(src_frames, tgt_frames)
+            ]),
+            "lms": np.stack([
+                np.stack([
+                    np.asarray(sl, np.float32), np.asarray(tl, np.float32)
+                ])
+                for sl, tl in zip(src_landmarks, tgt_landmarks)
+            ]),
+        }
+        return [o[0, ..., :3] for o in self._swapper.push_many(raw)]
 
     def flush(self) -> List[jnp.ndarray]:
         return [o[0, ..., :3] for o in self._swapper.flush()]

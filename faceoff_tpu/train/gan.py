@@ -105,15 +105,19 @@ def _maybe_flip(x: jnp.ndarray, do_flip: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(do_flip, jnp.flip(x, axis=-2), x)
 
 
-def adv_scale_schedule(
-    step: int, start: int = 0, ramp: int = 0, step0: int = 0
-) -> float:
+def adv_scale_schedule(step: int, start: int = 0, ramp: int = 0) -> float:
     """Adversarial-term multiplier for a warm-started GAN fine-tune:
-    0.0 through `start` warmup steps of this run (taming-style
-    adopt_weight gating), then a linear `ramp`-step ramp to 1.0 (hard
-    switch when ramp=0). Host-side float fed to gen_step's traced
-    adv_scale arg — varying values never retrace."""
-    rel = (step - step0) - start
+    0.0 through `start` warmup steps (taming-style adopt_weight gating),
+    then a linear `ramp`-step ramp to 1.0 (hard switch when ramp=0).
+    Host-side float fed to gen_step's traced adv_scale arg — varying
+    values never retrace.
+
+    `step` is the ABSOLUTE run step: a `--resume latest` retry continues
+    the warmup/ramp exactly where it stopped. (An earlier revision
+    anchored the schedule at the resumed step, which silently restarted
+    the warmup + ramp on every supervisor retry — the schedule-continuity
+    hazard the round-3 real-footage incident exposed for the lr cycle.)"""
+    rel = step - start
     if rel < 0:
         return 0.0
     if ramp <= 0:

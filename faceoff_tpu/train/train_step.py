@@ -123,6 +123,7 @@ def make_multi_step(
     lpips_apply: Optional[Callable] = None,
     prepare_fn: Optional[Callable] = None,
     donate: bool = True,
+    scan_batches: bool = True,
 ):
     """K optimizer steps per dispatch via `lax.scan`.
 
@@ -131,6 +132,12 @@ def make_multi_step(
     axis of distinct micro-batches, and PRNG keys likewise. Returns
     (final_state, metrics of the LAST step, with a 'loss_mean' over the
     window).
+
+    scan_batches=False: the batch is CONSTANT across the scan (no leading
+    K axis) — the device-resident corpus mode, where every step receives
+    the same staged arrays and prepare_fn samples fresh clips from them
+    (the step folds the on-device step counter into the key, so identical
+    inputs still yield distinct batches per iteration).
     """
     single = make_train_step(
         model,
@@ -154,13 +161,22 @@ def make_multi_step(
         if keys is None:
             keys = jnp.zeros((steps_per_call,), jnp.uint32)
 
-        def body(carry, xs):
-            batch, key = xs
-            new_state, metrics = inner(carry, batch, lpips_vars, key)
-            return new_state, metrics
+        if scan_batches:
+            def body(carry, xs):
+                batch, key = xs
+                new_state, metrics = inner(carry, batch, lpips_vars, key)
+                return new_state, metrics
+
+            xs = (batches, keys)
+        else:
+            def body(carry, key):
+                new_state, metrics = inner(carry, batches, lpips_vars, key)
+                return new_state, metrics
+
+            xs = keys
 
         state_out, metrics_seq = jax.lax.scan(
-            body, state, (batches, keys), length=steps_per_call
+            body, state, xs, length=steps_per_call
         )
         metrics = {
             k: v[-1] for k, v in metrics_seq.items()

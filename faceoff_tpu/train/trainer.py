@@ -275,6 +275,13 @@ class Trainer:
         from faceoff_tpu.data.pipeline import prefetch_to_device
         from faceoff_tpu.parallel.mesh import batch_sharding
 
+        if getattr(self.train_loader, "is_resident", False):
+            # device-resident corpus: the loader yields the same staged
+            # arrays every time — nothing to transfer or double-buffer;
+            # the jitted step samples fresh clips from them per step
+            for batch in self.train_loader:
+                yield batch, self.steps_per_call
+            return
         if self.steps_per_call <= 1:
             sharding = batch_sharding(self.mesh)
             for batch in prefetch_to_device(self.train_loader, sharding):
@@ -291,10 +298,19 @@ class Trainer:
         logger = MetricLogger()
         t0 = time.time()
         for i, (batch, n_steps) in enumerate(self._device_stream()):
-            first = next(iter(batch.values()))
-            if n_steps > 1:
+            if getattr(self.train_loader, "is_resident", False):
+                # resident batches carry the whole corpus; the trained
+                # frame count comes from the loader's sampling config
+                frames = (
+                    self.train_loader.clips_per_step
+                    * self.train_loader.clip_len
+                    * n_steps
+                )
+            elif n_steps > 1:
+                first = next(iter(batch.values()))
                 frames = int(np.prod(first.shape[:3]))
             else:
+                first = next(iter(batch.values()))
                 frames = first.shape[0] * first.shape[1]
             # with a device pipeline the raw batch + key go straight into
             # the fused train step (input prep and optimization are one

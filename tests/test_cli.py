@@ -115,6 +115,46 @@ class TestGANCLI:
         assert sorted(l["step"] for l in gen_lines) == [1, 3]
         assert sorted(l["step"] for l in disc_lines) == [2, 4]
 
+    def test_resume_continues_ramp_and_alternation(self, synth_root,
+                                                   tmp_path):
+        """A --resume latest retry mid---adversarial_ramp continues the
+        ramp weight, the gen/disc alternation, and the step count from
+        step0 EXACTLY — none of them may restart (the schedule-continuity
+        guarantee the perceptual trainer got for its lr cycle)."""
+        from faceoff_tpu.cli.train_faceoff_gan import main
+        from faceoff_tpu.train.gan import adv_scale_schedule
+
+        args = [
+            "--data_root", synth_root, "--gan", "mocoganhd",
+            "--size", "64", "--train_frames", "6", "--sample_frames", "4",
+            "--val_frames", "4", "--validate_at", "100000",
+            "--num_workers", "1", "--log_every", "1", "--batch_size", "1",
+            "--adversarial_start", "2", "--adversarial_ramp", "4",
+            "--checkpoint_dir", str(tmp_path / "c"),
+            "--sample_folder", str(tmp_path / "s"),
+            "--metrics_path", str(tmp_path / "m.jsonl"),
+            *GAN_TINY_FLAGS,
+        ]
+        main(args + ["--steps", "4"])
+        main(args + ["--resume", "latest", "--steps", "8"])
+        lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+        gen_lines = [l for l in lines if "g_loss" in l]
+        disc_lines = [l for l in lines if "d_3d_loss" in l]
+        # alternation continues across the resume: gen on odd output
+        # steps, disc on even, with no step re-run or skipped
+        assert sorted(l["step"] for l in gen_lines) == [1, 3, 5, 7]
+        assert sorted(l["step"] for l in disc_lines) == [2, 4, 6, 8]
+        # ramp weight is the absolute-step schedule on both sides of the
+        # resume (gen at output step s ran with step_count = s - 1)
+        for l in gen_lines:
+            want = adv_scale_schedule(l["step"] - 1, start=2, ramp=4)
+            assert l["adv_scale"] == pytest.approx(want)
+        # and it must actually traverse the ramp, not restart at 0
+        post = [l["adv_scale"] for l in sorted(
+            gen_lines, key=lambda x: x["step"]
+        )]
+        assert post[-1] == 1.0 and post[0] == 0.0
+
     @pytest.mark.parametrize("recipe", ["mocogan", "vqgan"])
     def test_other_recipes_smoke(self, synth_root, tmp_path, recipe):
         from faceoff_tpu.cli.train_faceoff_gan import main

@@ -60,7 +60,7 @@ def test_bundle_roundtrip_offline_and_streaming(tiny, tmp_path):
     # streaming: deserialized push/flush reproduce the native streamer
     from faceoff_tpu.serve.streaming import make_stream_steps
 
-    init_state, push_step, flush_step, delay = make_stream_steps(
+    init_state, push_step, flush_step, delay, _ = make_stream_steps(
         model, variables
     )
     assert bundle.delay == delay

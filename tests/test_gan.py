@@ -351,6 +351,10 @@ def test_adv_scale_schedule_ramp():
     vals = [adv_scale_schedule(s, start=100, ramp=4) for s in
             (99, 100, 101, 102, 103, 104, 1000)]
     assert vals == [0.0, 0.25, 0.5, 0.75, 1.0, 1.0, 1.0]
-    # step0 offsets make warmup relative to THIS run, not global step
-    assert adv_scale_schedule(1512, start=100, ramp=0, step0=1512) == 0.0
-    assert adv_scale_schedule(1612, start=100, ramp=0, step0=1512) == 1.0
+    # the schedule is ABSOLUTE in run step: a resume at step S evaluates
+    # to the same value the uninterrupted run would have had at S — the
+    # warmup/ramp must never restart on a supervisor retry
+    assert adv_scale_schedule(1512, start=100, ramp=0) == 1.0
+    mid_ramp = adv_scale_schedule(102, start=100, ramp=4)
+    assert mid_ramp == adv_scale_schedule(102, start=100, ramp=4)
+    assert 0.0 < mid_ramp < 1.0

@@ -154,3 +154,49 @@ def test_identical_inputs_score_zero(pair, tmp_path):
     model, variables = init_lpips(jax.random.key(0), image_size=64)
     got = float(model.apply(variables, jnp.asarray(a), jnp.asarray(a)))
     assert abs(got) < 1e-6
+
+
+def test_auto_discovery_converts_dropped_pth(tmp_path, monkeypatch):
+    """--lpips_weights auto: a user-dropped taming-style vgg.pth is found
+    via $FACEOFF_LPIPS_WEIGHTS, auto-converted with the proven converter,
+    cached as .npz, and the loaded weights change the metric vs the
+    random-VGG fallback."""
+    from faceoff_tpu.models.lpips import (
+        discover_lpips_weights,
+        resolve_lpips_weights,
+    )
+
+    ref = _TorchLPIPS().eval()
+    pth = tmp_path / "vgg.pth"
+    torch.save(ref.taming_state_dict(), pth)
+
+    monkeypatch.setenv("FACEOFF_LPIPS_WEIGHTS", str(pth))
+    monkeypatch.setenv("HOME", str(tmp_path))  # isolate the conversion cache
+    npz = discover_lpips_weights()
+    assert npz is not None and npz.endswith(".npz")
+    data = np.load(npz)
+    assert len(data.files) == 31
+
+    rng = np.random.default_rng(5)
+    a = rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = np.clip(a + 0.2, -1, 1).astype(np.float32)
+    _, v_auto = init_lpips(jax.random.key(0), image_size=64, weights_npz=npz)
+    model, v_rand = init_lpips(jax.random.key(0), image_size=64)
+    got_auto = float(model.apply(v_auto, jnp.asarray(a), jnp.asarray(b)))
+    got_rand = float(model.apply(v_rand, jnp.asarray(a), jnp.asarray(b)))
+    assert got_auto != pytest.approx(got_rand)
+
+    # an .npz hit passes through resolve unchanged; 'auto' resolves to it
+    monkeypatch.setenv("FACEOFF_LPIPS_WEIGHTS", npz)
+    assert resolve_lpips_weights("auto") == npz
+    assert resolve_lpips_weights(npz) == npz
+    assert resolve_lpips_weights(None) is None
+
+    # nothing findable -> loud None (random-VGG fallback stays the default)
+    monkeypatch.delenv("FACEOFF_LPIPS_WEIGHTS")
+    monkeypatch.chdir(tmp_path / "empty" if (tmp_path / "empty").mkdir()
+                      is None else tmp_path)
+    import os
+    os.remove(npz)
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path / "empty"))
+    assert discover_lpips_weights(verbose=False) is None
