@@ -225,6 +225,77 @@ def bench_resident(batch: int = 16, spc: int = 1):
     )
 
 
+def bench_profile(batch: int = 16, hw: int = HW, remat: bool = False):
+    """Roofline at the operating point (--mode profile): AOT-compile the
+    SAME b16 train step the headline measures, pull XLA's cost analysis
+    (FLOPs + HBM bytes accessed), time it, and print one JSON line with
+    achieved TFLOP/s, HBM GB/s, % of peak bandwidth, and MFU — the
+    numbers VERDICT round-3 asked to publish for the b16 regime (the
+    round-2 roofline text described the b1 step only).
+
+    Peak constants are the v5e datasheet: 197 bf16 TFLOP/s, 819 GB/s."""
+    from faceoff_tpu.models import VQVAE
+    from faceoff_tpu.models.lpips import init_lpips
+    from faceoff_tpu.train import create_train_state, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    b = batch
+    model = VQVAE(
+        in_channels=6,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+        remat=remat,
+    )
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    gt = jax.random.uniform(k1, (b, T, hw, hw, 3), minval=-1, maxval=1)
+    bg = jax.random.uniform(k2, (b, T, hw, hw, 3), minval=-1, maxval=1)
+    batch_d = {"input": jnp.concatenate([gt, bg], axis=-1), "gt": gt}
+    state = create_train_state(model, k3, batch_d["input"], lr=3e-4)
+    lpips_model, lpips_vars = init_lpips(
+        jax.random.key(1), image_size=hw,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    lpips_apply = lambda v, a, c: lpips_model.apply(v, a, c)
+    step = make_train_step(model, lpips_apply=lpips_apply, donate=False)
+
+    compiled = jax.jit(step).lower(state, batch_d, lpips_vars).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns one dict per device
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    bytes_hbm = float(cost.get("bytes accessed", 0.0))
+
+    for _ in range(WARMUP):
+        state, m = compiled(state, batch_d, lpips_vars)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, m = compiled(state, batch_d, lpips_vars)
+    float(m["loss"])
+    ms = (time.perf_counter() - t0) / ITERS * 1e3
+
+    peak_tflops, peak_gbps = 197e12, 819e9
+    tflops = flops / (ms / 1e3) / 1e12
+    gbps = bytes_hbm / (ms / 1e3) / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": f"roofline_{hw}px_T8_b{b}",
+                "value": round(ms, 3),
+                "unit": "ms/step",
+                "vs_baseline": None,
+                "flop_per_step": flops,
+                "hbm_bytes_per_step": bytes_hbm,
+                "achieved_tflops": round(tflops, 2),
+                "achieved_hbm_gbps": round(gbps, 1),
+                "pct_peak_hbm_bw": round(100 * gbps * 1e9 / peak_gbps, 1),
+                "mfu_pct": round(100 * tflops * 1e12 / peak_tflops, 1),
+                "frames_per_sec": round(b * T * 1e3 / ms, 1),
+            }
+        )
+    )
+
+
 def bench_multi(k: int = 8):
     """K distinct optimizer steps per dispatch via lax.scan
     (train_step.make_multi_step) — measures launch-overhead-amortized
@@ -642,7 +713,7 @@ if __name__ == "__main__":
     ap.add_argument(
         "--mode",
         choices=["step", "multi", "e2e", "e2e_host", "e2e_resident",
-                 "stream", "swap_session", "infer", "gan"],
+                 "stream", "swap_session", "infer", "gan", "profile"],
         default="step",
         help="step: device-only train step (driver default); "
              "multi: K steps per dispatch via lax.scan; "
@@ -695,5 +766,7 @@ if __name__ == "__main__":
         bench_gan(scan=cli.scan)
     elif mode == "e2e_resident":
         bench_resident(batch=cli.batch or 16, spc=max(1, cli.scan))
+    elif mode == "profile":
+        bench_profile(batch=cli.batch or 16, hw=cli.hw, remat=cli.remat)
     else:
         bench_e2e(device_pipeline=(mode == "e2e"), batch=cli.batch or 1)
