@@ -22,7 +22,11 @@ from faceoff_tpu.data.dataset import TemporalAlignmentDataset
 from faceoff_tpu.data.pipeline import DataLoader
 from faceoff_tpu.evaluation import evaluate_reconstruction
 from faceoff_tpu.io.checkpoint import CheckpointManager
-from faceoff_tpu.models.lpips import init_lpips
+from faceoff_tpu.models.lpips import (
+    init_lpips,
+    lpips_weights_trunk_only,
+    resolve_lpips_weights,
+)
 from faceoff_tpu.train import create_train_state, make_eval_step
 
 
@@ -66,22 +70,39 @@ def main(argv=None):
     )
     eval_step = make_eval_step(model)
 
+    # resolve ONCE ('auto' probes/converts via discover_lpips_weights);
+    # every tagging decision below keys off the RESOLVED value
+    lpips_npz = resolve_lpips_weights(args.lpips_weights)
     lpips_model, lpips_vars = init_lpips(
         jax.random.key(1), image_size=args.size,
-        weights_npz=args.lpips_weights,
+        weights_npz=lpips_npz,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
-    if args.lpips_weights is None:
+    # metric-key suffix records exactly what the extractor was: '' = real
+    # LPIPS weights, '_untrained_lin' = real VGG trunk but random lin
+    # heads (bare torchvision checkpoint), '_random_vgg' = fully random
+    if lpips_npz is None:
+        lpips_tag = "_random_vgg"
         # a fixed-seed random VGG is a usable *training* signal but NOT the
         # reference metric — report it under a different key so it is never
         # mistaken for LPIPS parity (convert real weights with
         # tools/convert_lpips.py from the taming vgg.pth)
         print(
-            "WARNING: --lpips_weights not given; using a fixed-seed RANDOM "
+            "WARNING: no LPIPS weights resolved; using a fixed-seed RANDOM "
             "VGG. Reporting the metric as 'lpips_random_vgg' — it is NOT "
             "comparable to the reference LPIPS.",
             flush=True,
         )
+    elif lpips_weights_trunk_only(lpips_npz):
+        lpips_tag = "_untrained_lin"
+        print(
+            f"WARNING: {lpips_npz} carries the VGG trunk only; the learned "
+            "lin heads are random-init. Reporting the metric as "
+            "'lpips_untrained_lin' — NOT comparable to the reference LPIPS.",
+            flush=True,
+        )
+    else:
+        lpips_tag = ""
 
     ds = TemporalAlignmentDataset(
         args.data_root, "val", args.frames, resolution=args.size,
@@ -116,8 +137,8 @@ def main(argv=None):
             lpips_apply=lpips_apply, lpips_vars=lpips_vars,
         )
         rep = {k: float(v) for k, v in rep.items()}
-        if args.lpips_weights is None and "lpips" in rep:
-            rep["lpips_random_vgg"] = rep.pop("lpips")
+        if lpips_tag and "lpips" in rep:
+            rep[f"lpips{lpips_tag}"] = rep.pop("lpips")
         reports.append(rep)
 
     if args.crossid:
@@ -138,9 +159,10 @@ def main(argv=None):
                 f"{k}_naive_{args.naive_baseline}": round(float(v), 5)
                 for k, v in nvals.items()
             })
-        if args.lpips_weights is None:
-            # random-VGG extractor: relative tracking only
-            summary = {f"{k}_random_vgg": v for k, v in summary.items()}
+        if lpips_tag:
+            # degraded extractor (random VGG / untrained lin heads):
+            # relative tracking only
+            summary = {f"{k}{lpips_tag}": v for k, v in summary.items()}
         summary["n_clips"] = len(preds)
     else:
         summary = {

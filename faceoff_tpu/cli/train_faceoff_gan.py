@@ -248,7 +248,7 @@ def main(argv=None):
             f"{corpus.nbytes / 2**20:.0f} MiB in HBM", flush=True,
         )
         prepare_fn = make_resident_prepare(
-            corpus, local_clips, args.train_frames
+            corpus, local_clips, args.train_frames, mesh=mesh
         )
         loader = ResidentBatches(
             corpus, max(1, len(ds) // local_clips),
@@ -531,7 +531,22 @@ def main(argv=None):
     # the perceptual trainer's _batch_stream remainder policy)
     steps_per_epoch = max(len(loader), 1)
     step_budget = args.epoch * steps_per_epoch
-    start_epoch = min(args.epoch, step0 // steps_per_epoch)
+
+    def _delivered(e):
+        # optimizer steps actually delivered by `e` full epochs: with
+        # --steps_per_call K the microbatch accumulator carries ACROSS
+        # epoch boundaries, so e epochs of e*spe loader batches train
+        # floor(e*spe/K)*K steps — crediting resumed progress against the
+        # raw e*spe would under-count finished epochs and re-run them
+        # (the hazard trainer.py fit() fixes for the perceptual path)
+        if spc <= 1:
+            return e * steps_per_epoch
+        return (e * steps_per_epoch // spc) * spc
+
+    start_epoch = 0
+    # `<= step0` (not <) also absorbs the +1 odd-resume alignment step
+    while start_epoch < args.epoch and _delivered(start_epoch + 1) <= step0:
+        start_epoch += 1
     if start_epoch:
         print(
             f"resume at step {step0}: {start_epoch}/{args.epoch} epochs "

@@ -231,7 +231,7 @@ def build_everything(args):
         )
         prepare_fn = make_resident_prepare(
             corpus, local_clips, cfg.data.train_frames,
-            color_jitter=args.colorjit,
+            color_jitter=args.colorjit, mesh=mesh,
         )
         steps_per_epoch = max(1, len(train_ds) // local_clips)
         train_loader = ResidentBatches(

@@ -23,9 +23,14 @@ data/dataset.py _sample_window) and the perturbation distribution is the
 same device engine the streaming pipeline uses
 (data/device_pipeline.prepare_train_batch).
 
-Multi-chip: the corpus replicates over the mesh; sampled clip indices
-shard over 'data', so each chip gathers its own clips from its local copy
-— no per-step collectives are added.
+Multi-chip: the corpus replicates over the mesh, and
+`make_resident_prepare(..., mesh=...)` pins the SAMPLED clips to
+P('data') with an explicit sharding constraint — without it GSPMD
+propagates the corpus's replicated sharding through the whole fused step
+and every chip redundantly computes the full global batch. With the
+constraint each chip gathers its shard of clips from its local copy and
+the train step data-parallelizes as usual; no per-step collectives are
+added beyond the gradient/VQ psum.
 """
 
 from __future__ import annotations
@@ -164,6 +169,7 @@ def make_resident_prepare(
     clip_len: int,
     *,
     color_jitter: str = "",
+    mesh=None,
 ) -> Callable:
     """`prepare_fn(key, frames, landmarks) -> batch` for
     train_step.make_train_step / gan.make_gan_steps: `frames`/`landmarks`
@@ -171,14 +177,28 @@ def make_resident_prepare(
     sampling + hull/perturb/composite all trace into the train step.
 
     The per-video frame counts are captured by closure — they ride into
-    the jitted program as a small constant input."""
+    the jitted program as a small constant input.
+
+    mesh: pass the device mesh on multi-chip runs — the sampled clips get
+    an explicit P('data') sharding constraint so the fused step
+    data-parallelizes instead of inheriting the corpus's replicated
+    sharding (which would make every chip compute the full global batch).
+    """
     n_frames = corpus.n_frames
+    constraint = None
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        constraint = NamedSharding(mesh, P("data"))
 
     def prepare(key, frames, landmarks):
         k_sample, k_prep = jax.random.split(key)
         clips, lms = sample_clip_windows(
             k_sample, frames, landmarks, n_frames, batch_clips, clip_len
         )
+        if constraint is not None:
+            clips = jax.lax.with_sharding_constraint(clips, constraint)
+            lms = jax.lax.with_sharding_constraint(lms, constraint)
         return prepare_train_batch(
             k_prep, clips, lms, color_jitter=color_jitter
         )

@@ -150,9 +150,10 @@ def discover_lpips_weights(verbose: bool = True) -> Optional[str]:
         try:
             import sys
 
-            tools_dir = osp.join(pkg_root, "tools")
-            if tools_dir not in sys.path:
-                sys.path.insert(0, pkg_root)
+            # append (not prepend) so the repo root can never shadow
+            # installed top-level packages
+            if pkg_root not in sys.path:
+                sys.path.append(pkg_root)
             from tools.convert_lpips import convert
 
             try:
@@ -162,7 +163,11 @@ def discover_lpips_weights(verbose: bool = True) -> Optional[str]:
                 if verbose:
                     print(
                         f"lpips auto: {path} has no learned lin heads "
-                        "(bare VGG16) — converting the trunk only",
+                        "(bare VGG16) — converting the trunk only; the "
+                        "lin heads stay random-init, so perceptual "
+                        "metrics are NOT reference-comparable (callers "
+                        "tag them *_untrained_lin via "
+                        "lpips_weights_trunk_only)",
                         flush=True,
                     )
             os.makedirs(osp.dirname(cache_npz), exist_ok=True)
@@ -194,6 +199,17 @@ def resolve_lpips_weights(arg: Optional[str]) -> Optional[str]:
     if arg == "auto":
         return discover_lpips_weights()
     return arg
+
+
+def lpips_weights_trunk_only(npz_path: Optional[str]) -> bool:
+    """True when the converted weights carry the VGG trunk but NOT the
+    learned lin heads (a bare torchvision vgg16 checkpoint): the heads
+    stay random-init, so perceptual metrics computed with them are not
+    reference-comparable and callers must tag them `*_untrained_lin`."""
+    if npz_path is None:
+        return False
+    with np.load(npz_path) as data:
+        return not any(k.startswith("lin") for k in data.files)
 
 
 def init_lpips(

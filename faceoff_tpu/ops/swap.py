@@ -98,17 +98,17 @@ def prepare_swap_batch(
     tgt01 = tgt_frames.astype(jnp.float32) / 255.0
     sp = jnp.asarray(STABLE_POINTS)
 
-    def one(s_img, s_lms, t_img, t_lms):
+    def pre(s_img, s_lms, t_lms):
         # enlarged no-jaw hull, segment the source face (reference :135-136)
         s_mask = W.convex_mask(
             s_lms[hull_start:hull_end], h, w, enlarge=float(enlargement)
         )
         face = s_img * s_mask[..., None]
-
         # similarity transform on the 5 stable landmarks (reference :85-96)
         M = W.umeyama_similarity(s_lms[sp], t_lms[sp])
-        warped_face = W.affine_warp(face[None], M[None])[0]
+        return face, M
 
+    def post(warped_face, s_img, t_img, t_lms):
         # target with face features removed (reference :139-194 uses the
         # enlarged no-jaw hull for the 'without_face_features' stream)
         t_mask = W.convex_mask(
@@ -133,11 +133,16 @@ def prepare_swap_batch(
                 t_img * (1.0 - t_mask_full)[..., None] * (1.0 - has_face)
                 + warped_face
             )
-        return warped_face, background, combined
+        return background, combined
 
-    source, background, combined = jax.vmap(one)(
-        src01, src_landmarks.astype(jnp.float32),
-        tgt01, tgt_landmarks.astype(jnp.float32),
+    s_lms_f = src_landmarks.astype(jnp.float32)
+    t_lms_f = tgt_landmarks.astype(jnp.float32)
+    # the warp sits OUTSIDE the per-item vmaps so the whole batch routes
+    # through one MXU warp kernel on TPU (ops.warp.batched_bilinear_warp)
+    faces, Ms = jax.vmap(pre)(src01, s_lms_f, t_lms_f)
+    source = W.affine_warp(faces, Ms)
+    background, combined = jax.vmap(post)(
+        source, src01, tgt01, t_lms_f,
     )
 
     def to_pm1(x):

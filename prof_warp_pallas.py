@@ -30,10 +30,11 @@ def run(precision, tile_h):
                       "ms": round((time.perf_counter()-t0)/10*1e3, 2)}), flush=True)
     return out
 
-a = run("highest", 8)
+a = run("default", 8)
 b = run("bfloat16", 8)
-run("highest", 256)
-run("bfloat16", 256)
+run("default", 4)
+run("default", None)
+hi = run("highest", 8)
 # numeric sanity vs the XLA gather path on device
 def cur(imgs, ang):
     def one(img, a):
@@ -41,5 +42,6 @@ def cur(imgs, ang):
         return W.warp_with_grid(img, xs, ys)
     return jax.vmap(one)(imgs, ang)
 ref = jax.jit(cur)(imgs, ang)
-print("f32 diff vs gather:", float(jnp.max(jnp.abs(a - ref))),
-      "bf16 diff:", float(jnp.max(jnp.abs(b - ref))), flush=True)
+print("default diff vs gather:", float(jnp.max(jnp.abs(a - ref))),
+      "bf16 diff:", float(jnp.max(jnp.abs(b - ref))),
+      "highest diff:", float(jnp.max(jnp.abs(hi - ref))), flush=True)

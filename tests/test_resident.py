@@ -121,6 +121,30 @@ class TestPrepare:
         assert float(jnp.max(batch["gt"])) <= 1.0 + 1e-5
         assert float(jnp.min(batch["gt"])) >= -1.0 - 1e-5
 
+    def test_mesh_constraint_shards_batch_over_data(self, corpus, devices):
+        """With mesh= given, the sampled batch must come out sharded
+        P('data') — NOT inherit the corpus's replicated sharding (which
+        would make every chip compute the full global batch and silently
+        lose all data-parallel scaling)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from faceoff_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=8, devices=devices)
+        replicated = NamedSharding(mesh, P())
+        frames = jax.device_put(corpus.frames, replicated)
+        lms = jax.device_put(corpus.landmarks, replicated)
+        prepare = make_resident_prepare(corpus, 8, 4, mesh=mesh)
+        batch = jax.jit(prepare)(jax.random.key(0), frames, lms)
+        want = NamedSharding(mesh, P("data"))
+        for k in ("input", "gt"):
+            got = batch[k].sharding
+            assert got.is_equivalent_to(want, batch[k].ndim), (
+                f"{k} sharding {got} is not P('data') over the mesh"
+            )
+            # per-shard batch slice is 1 of 8 clips
+            assert batch[k].addressable_shards[0].data.shape[0] == 1
+
     def test_fused_train_steps_advance(self, corpus):
         from faceoff_tpu.models import VQVAE
         from faceoff_tpu.train import create_train_state, make_train_step
