@@ -119,12 +119,13 @@ def build_parser():
                         "dispatch boundary")
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
-                        "(mocoganhd recipe only)")
+                        "(all recipes)")
     p.add_argument("--resident_data", action="store_true",
                    help="stage the whole decoded corpus into device HBM "
                         "once; clip sampling + geometry fuse into the "
-                        "gen/disc steps (mocoganhd recipe, "
-                        "steps_per_call=1)")
+                        "gen/disc steps (all recipes; steps_per_call=1 — "
+                        "the resident step already fuses input prep, so "
+                        "there is no per-step dispatch to amortize)")
     p.add_argument("--resident_max_frames", type=int, default=None,
                    help="cap decoded frames per video when staging the "
                         "resident corpus")
@@ -224,9 +225,6 @@ def main(argv=None):
         raise SystemExit("--steps_per_call must be even "
                          "(gen/disc pairs per dispatch)")
     if args.resident_data:
-        if args.gan != "mocoganhd":
-            raise SystemExit("--resident_data currently supports "
-                             "--gan mocoganhd only")
         if args.steps_per_call > 1:
             raise SystemExit("--resident_data supports steps_per_call=1 "
                              "(the resident step already fuses input prep "
@@ -255,9 +253,6 @@ def main(argv=None):
             clips_per_step=local_clips, clip_len=args.train_frames,
         )
     elif args.device_pipeline:
-        if args.gan != "mocoganhd":
-            raise SystemExit("--device_pipeline currently supports "
-                             "--gan mocoganhd only")
         from faceoff_tpu.data.device_pipeline import (
             RawClipLoader,
             prepare_train_batch,
@@ -384,6 +379,7 @@ def main(argv=None):
             lpips_apply=lpips_apply,
             image_disc_weight=args.img_disc_weight,
             video_disc_weight=args.vid_disc_weight,
+            prepare_fn=prepare_fn,
         )
 
         def run_step(state, batch, step_count, key):
@@ -398,13 +394,14 @@ def main(argv=None):
             image_hw=args.size, disc_lr=args.disc_lr,
         )
         gen_step, disc_step = make_vqgan_steps(
-            model, disc, lpips_apply=lpips_apply
+            model, disc, lpips_apply=lpips_apply, prepare_fn=prepare_fn
         )
 
         def run_step(state, batch, step_count, key):
+            k = key if prepare_fn is not None else None
             if step_count % 2 == 0:
-                return gen_step(state, batch, lpips_vars)
-            return disc_step(state, batch)
+                return gen_step(state, batch, lpips_vars, k)
+            return disc_step(state, batch, k)
 
     # resume paths: --resume restores the FULL adversarial state from this
     # run's checkpoint_dir; --ckpt --load_disc additionally restores the

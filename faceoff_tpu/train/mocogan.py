@@ -75,11 +75,25 @@ def make_mocogan_step(
     video_disc_weight: float = 0.5,
     perceptual_loss_weight: float = 0.0,
     lpips_apply=None,
+    prepare_fn=None,
     donate: bool = True,
 ):
     """One combined iteration: disc updates then gen update
     (reference train_vqvae_mocogan_disc.py:178-230 orders
-    train_discriminator for both discs, then train_generator)."""
+    train_discriminator for both discs, then train_generator).
+
+    prepare_fn: optional on-device input pipeline (device_pipeline /
+    resident corpus) — the step then accepts raw {"frames", "landmarks"}
+    batches and the geometry fuses into the same XLA program."""
+
+    def maybe_prepare(batch, key):
+        if prepare_fn is not None and "frames" in batch:
+            return prepare_fn(
+                jax.random.fold_in(key, 1),
+                batch["frames"],
+                batch["landmarks"],
+            )
+        return batch
 
     def gen_forward(params, vq, batch):
         (dec, latent), updates = model.apply(
@@ -123,6 +137,7 @@ def make_mocogan_step(
         # the host may pass ONE constant key for the whole run (no per-step
         # key-construction dispatch) and resume reproduces the stream
         key = jax.random.fold_in(key, state.gen.step)
+        batch = maybe_prepare(batch, key)
         # one noise stream per discriminator application site (inactive
         # unless the discriminators were built with use_noise=True)
         nk = jax.random.split(key, 6)

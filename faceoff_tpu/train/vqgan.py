@@ -97,6 +97,7 @@ def make_vqgan_steps(
     latent_loss_weight: float = 1.0,
     perceptual_loss_weight: float = 1.0,
     lpips_apply=None,
+    prepare_fn=None,
     donate: bool = True,
 ):
     def forward(params, vq, batch):
@@ -125,10 +126,27 @@ def make_vqgan_steps(
             )
         return recon, perceptual
 
+    def maybe_prepare(batch, key, tag):
+        # key: caller key (ONE constant per run is enough) folded with the
+        # on-device generator step + a stream tag, matching the other
+        # trainers' randomness discipline
+        if prepare_fn is not None and "frames" in batch:
+            return prepare_fn(
+                jax.random.fold_in(key, tag),
+                batch["frames"],
+                batch["landmarks"],
+            )
+        return batch
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def gen_step(
-        state: VQGANState, batch: Dict[str, jnp.ndarray], lpips_vars: Any = None
+        state: VQGANState, batch: Dict[str, jnp.ndarray],
+        lpips_vars: Any = None, key: Any = None,
     ) -> Tuple[VQGANState, Dict[str, jnp.ndarray]]:
+        if key is not None:
+            batch = maybe_prepare(
+                batch, jax.random.fold_in(key, state.gen.step), 0
+            )
         # adaptive weight: grads of nll and g_loss wrt the last decoder
         # layer (path derived from the params structure at trace time)
         last_path = find_last_layer_path(state.gen.params)
@@ -187,8 +205,12 @@ def make_vqgan_steps(
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def disc_step(
-        state: VQGANState, batch: Dict[str, jnp.ndarray]
+        state: VQGANState, batch: Dict[str, jnp.ndarray], key: Any = None
     ) -> Tuple[VQGANState, Dict[str, jnp.ndarray]]:
+        if key is not None:
+            batch = maybe_prepare(
+                batch, jax.random.fold_in(key, state.gen.step), 1
+            )
         out, _, _ = forward(state.gen.params, state.gen.vq, batch)
         fake = jax.lax.stop_gradient(video_ops.fold_time(out))
         real = video_ops.fold_time(batch["gt"])

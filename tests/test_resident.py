@@ -272,3 +272,32 @@ class TestResidentCLI:
         lines = [json.loads(l) for l in open(tmp_path / "gm.jsonl")]
         assert any("g_loss" in l and np.isfinite(l["g_loss"]) for l in lines)
         assert any("d_3d_loss" in l for l in lines)
+
+    @pytest.mark.parametrize("recipe", ["mocogan", "vqgan"])
+    def test_gan_resident_other_recipes(self, synth_root, tmp_path, recipe):
+        """--resident_data is not mocoganhd-only: the BCE mocogan and the
+        adaptive-weight vqgan recipes take the same fused prepare_fn."""
+        from faceoff_tpu.cli.train_faceoff_gan import main
+
+        # train_frames 16: the patch VIDEO discriminator's stride-2 3D
+        # stack collapses T<8 to an empty time axis (nan loss) — 16 is
+        # the reference's window (mocogan trainers)
+        main([
+            "--data_root", synth_root, "--gan", recipe,
+            "--size", "64", "--train_frames", "16", "--sample_frames", "4",
+            "--val_frames", "4", "--validate_at", "100000",
+            "--num_workers", "1", "--log_every", "1", "--batch_size", "1",
+            "--steps", "2", "--resident_data",
+            "--checkpoint_dir", str(tmp_path / f"gc_{recipe}"),
+            "--sample_folder", str(tmp_path / f"gs_{recipe}"),
+            "--metrics_path", str(tmp_path / f"gm_{recipe}.jsonl"),
+            "--channel", "16", "--n_res_block", "1", "--n_res_channel", "8",
+            "--embed_dim", "8", "--n_embed", "32", "--ndf", "8",
+        ])
+        lines = [
+            json.loads(l) for l in open(tmp_path / f"gm_{recipe}.jsonl")
+        ]
+        assert lines, "no metrics written"
+        assert any(
+            "g_loss" in l and np.isfinite(l["g_loss"]) for l in lines
+        ), f"no finite g_loss in {lines}"
