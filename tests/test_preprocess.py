@@ -259,3 +259,83 @@ class TestFlowTrackingLandmarker:
         assert len(npzs) >= 20
         lm = np.load(npzs[0])["landmark"]
         assert lm.shape == (68, 2)
+
+
+class TestImageEvidenceLandmarker:
+    """The evidence seed places eyes/mouth from image content instead of
+    centering the canonical layout in the face box (VERDICT round-4
+    next-step #8): on face-cropped frames it must beat the box seed
+    against the ground-truth layout."""
+
+    @staticmethod
+    def _face_crops(n_videos=4, n_frames=4, size=256, margin=30):
+        """Synthetic frames cropped to the GT face + margin — the regime
+        the landmark stage actually sees (the crop stage runs first)."""
+        import tempfile
+
+        frames, gts = [], []
+        with tempfile.TemporaryDirectory() as d:
+            for seed in range(n_videos):
+                vd = osp.join(d, f"v{seed}")
+                synthetic.generate_video(vd, n_frames, size=size, seed=seed)
+                for p in sorted(glob(osp.join(vd, "*.jpg"))):
+                    img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+                    g = np.load(
+                        p.replace(".jpg", "_landmarks.npz")
+                    )["landmark"]
+                    x1, y1 = np.maximum(g.min(0) - margin, 0).astype(int)
+                    x2, y2 = np.minimum(g.max(0) + margin, size).astype(int)
+                    frames.append(img[y1:y2, x1:x2])
+                    gts.append(g - [x1, y1])
+        return frames, gts
+
+    def test_beats_box_seed_on_face_crops(self):
+        from faceoff_tpu.preprocess.detectors import (
+            BoxLandmarker,
+            ImageEvidenceLandmarker,
+        )
+
+        frames, gts = self._face_crops()
+        det = HeuristicDetector()
+        box = BoxLandmarker(det).landmarks(frames)
+        ev = ImageEvidenceLandmarker(det).landmarks(frames)
+
+        def mean_err(preds):
+            errs = [
+                np.linalg.norm(p - g, axis=1).mean()
+                for p, g in zip(preds, gts) if p is not None
+            ]
+            assert len(errs) >= len(gts) * 0.8
+            return float(np.mean(errs))
+
+        e_box, e_ev = mean_err(box), mean_err(ev)
+        # measured ~37 vs ~25 px; the margin guards regressions without
+        # overfitting the exact fixture
+        assert e_ev < e_box * 0.85, (e_ev, e_box)
+
+    def test_falls_back_when_no_evidence(self):
+        """A blank skin ellipse has no eye/mouth structure: the seed must
+        fall back to the box layout, not hallucinate anchors."""
+        from faceoff_tpu.preprocess.detectors import (
+            BoxLandmarker,
+            ImageEvidenceLandmarker,
+        )
+
+        img = np.full((160, 160, 3), 40, np.uint8)
+        cv2.ellipse(img, (80, 90), (40, 52), 0, 0, 360, (210, 170, 140), -1)
+        det = HeuristicDetector()
+        ev = ImageEvidenceLandmarker(det).landmarks([img])[0]
+        box = BoxLandmarker(det).landmarks([img])[0]
+        assert ev is not None and box is not None
+        # featureless face -> the two seeds coincide (fallback taken) or
+        # stay close; crucially nothing explodes off the face
+        assert np.linalg.norm(ev - box, axis=1).mean() < 25.0
+
+    def test_flow_tracker_uses_evidence_seed(self):
+        from faceoff_tpu.preprocess.detectors import (
+            FlowTrackingLandmarker,
+            ImageEvidenceLandmarker,
+        )
+
+        t = FlowTrackingLandmarker(HeuristicDetector())
+        assert isinstance(t._base, ImageEvidenceLandmarker)
