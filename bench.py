@@ -628,7 +628,8 @@ def bench_swap_session(frames_per_call: int = 1):
 
 
 def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
-         no_pallas: bool = False):
+         no_pallas: bool = False, remat_scope: str = "all",
+         frames: int = None):
     """The headline metric. batch_clips=16 is the measured best per-chip
     operating point on a v5e (BENCHMARKS.md round-3 sweep: 386 b1 ->
     441 b4 -> 464 b8 -> 620 b16 -> 528 b32 f/s; the larger folded frame
@@ -647,18 +648,20 @@ def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
     on_tpu = jax.default_backend() == "tpu"
     n_chips = jax.device_count()
     b = batch_clips
+    t = frames or T
 
     model = VQVAE(
         in_channels=6,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=on_tpu and not no_pallas,
         remat=remat,
+        remat_scope=remat_scope,
     )
 
     key = jax.random.key(0)
     k1, k2, k3 = jax.random.split(key, 3)
-    gt = jax.random.uniform(k1, (b, T, hw, hw, 3), minval=-1, maxval=1)
-    bg = jax.random.uniform(k2, (b, T, hw, hw, 3), minval=-1, maxval=1)
+    gt = jax.random.uniform(k1, (b, t, hw, hw, 3), minval=-1, maxval=1)
+    bg = jax.random.uniform(k2, (b, t, hw, hw, 3), minval=-1, maxval=1)
     batch = {"input": jnp.concatenate([gt, bg], axis=-1), "gt": gt}
 
     state = create_train_state(model, k3, batch["input"], lr=3e-4)
@@ -685,13 +688,13 @@ def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
     float(metrics["loss"])
     dt = time.perf_counter() - t0
 
-    frames_per_sec = b * T * ITERS / dt
+    frames_per_sec = b * t * ITERS / dt
     fps_per_chip = frames_per_sec / max(n_chips, 1)
 
     print(
         json.dumps(
             {
-                "metric": f"train_frames_per_sec_per_chip_{hw}px_T8_b{b}",
+                "metric": f"train_frames_per_sec_per_chip_{hw}px_T{t}_b{b}",
                 "value": round(fps_per_chip, 2),
                 "unit": "frames/s/chip",
                 # the FLOP-derived reference bound is a 256px operating
@@ -744,6 +747,12 @@ if __name__ == "__main__":
                          "the backward (HBM-traffic vs recompute A/B)")
     ap.add_argument("--no_pallas", action="store_true",
                     help="step mode: pure-XLA VQ path A/B")
+    ap.add_argument("--remat_scope", choices=["all", "decoder", "encoder"],
+                    default="all",
+                    help="step mode with --remat: submodule scope "
+                         "('decoder' = recompute only the full-res tail)")
+    ap.add_argument("--frames", type=int, default=None,
+                    help="step mode: clip length T (default 8)")
     ap.add_argument("--hw", type=int, default=HW,
                     help="step mode: spatial resolution (256 = the "
                          "reference's hard cap; 512 exercises the "
@@ -752,7 +761,8 @@ if __name__ == "__main__":
     mode = cli.mode
     if mode == "step":
         main(batch_clips=cli.batch if cli.batch else 16, remat=cli.remat,
-             hw=cli.hw, no_pallas=cli.no_pallas)
+             hw=cli.hw, no_pallas=cli.no_pallas,
+             remat_scope=cli.remat_scope, frames=cli.frames)
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":

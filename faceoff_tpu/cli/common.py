@@ -30,6 +30,12 @@ def add_model_flags(p) -> None:
                    help="rematerialize enc/dec activations in the backward "
                         "(less HBM traffic, more recompute); checkpoints "
                         "are interchangeable with remat off")
+    g.add_argument("--remat_scope", choices=["all", "decoder", "encoder"],
+                   default="all",
+                   help="with --remat: which submodules recompute. "
+                        "'decoder' keeps encoder activations and "
+                        "recomputes only the full-resolution decode tail "
+                        "- the cheaper trade at 512px+")
 
 
 def add_curation_flags(p) -> None:
@@ -90,4 +96,5 @@ def build_vqvae(args, in_channels: int = 6) -> VQVAE:
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=on_tpu and not args.no_pallas,
         remat=getattr(args, "remat", False),
+        remat_scope=getattr(args, "remat_scope", "all"),
     )

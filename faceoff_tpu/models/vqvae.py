@@ -225,13 +225,21 @@ class VQVAE(nn.Module):
     # step is memory-bound (BENCHMARKS.md roofline). Param structure is
     # unchanged, so checkpoints are interchangeable with remat off.
     remat: bool = False
+    # which submodules remat applies to: 'all' (round-3 behaviour),
+    # 'decoder' (dec_t/upsample path + final decoder only — keeps the
+    # already-computed encoder activations and recomputes just the
+    # full-resolution tail, the cheaper trade at large image sizes), or
+    # 'encoder' (the mirror choice)
+    remat_scope: str = "all"
 
     def setup(self):
         out_ch = self.out_channels or self.in_channels
         d = self.dtype
-        Enc = nn.remat(Encoder) if self.remat else Encoder
-        Dec = nn.remat(Decoder) if self.remat else Decoder
-        Post = nn.remat(TemporalPostnet) if self.remat else TemporalPostnet
+        enc_remat = self.remat and self.remat_scope in ("all", "encoder")
+        dec_remat = self.remat and self.remat_scope in ("all", "decoder")
+        Enc = nn.remat(Encoder) if enc_remat else Encoder
+        Dec = nn.remat(Decoder) if dec_remat else Decoder
+        Post = nn.remat(TemporalPostnet) if enc_remat else TemporalPostnet
         self.enc_b = Enc(
             self.channel, self.n_res_block, self.n_res_channel, 4, dtype=d
         )
