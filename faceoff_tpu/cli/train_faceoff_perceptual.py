@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resident_max_frames", type=int, default=None,
                    help="cap decoded frames per video when staging the "
                         "resident corpus (HBM guard for long videos)")
+    p.add_argument("--resident_hbm_budget_gib", type=float, default=8.0,
+                   help="refuse to stage a resident corpus estimated "
+                        "above this many GiB (guards against silently "
+                        "evicting the model from HBM); on overflow the "
+                        "error names the estimate — cap "
+                        "--resident_max_frames or fall back to "
+                        "--device_pipeline")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help=">1: scan that many optimizer steps per dispatch "
                         "(amortizes launch overhead)")
@@ -223,6 +230,7 @@ def build_everything(args):
             train_ds,
             max_frames_per_video=args.resident_max_frames,
             sharding=NamedSharding(mesh, P()),
+            hbm_budget_bytes=int(args.resident_hbm_budget_gib * 2**30),
         )
         print(
             f"resident corpus staged: {corpus.n_videos} videos, "

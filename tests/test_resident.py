@@ -301,3 +301,24 @@ class TestResidentCLI:
         assert any(
             "g_loss" in l and np.isfinite(l["g_loss"]) for l in lines
         ), f"no finite g_loss in {lines}"
+
+    def test_hbm_budget_flag_refuses_oversized_corpus(
+        self, synth_root, tmp_path
+    ):
+        """--resident_hbm_budget_gib is the operator's HBM guard: an
+        estimate above it must refuse BEFORE staging, naming the fallback."""
+        from faceoff_tpu.cli.train_faceoff_perceptual import main
+
+        with pytest.raises(MemoryError, match="device_pipeline"):
+            main([
+                "--data_root", synth_root, "--size", "64", "--epoch", "1",
+                "--train_frames", "2", "--val_frames", "2",
+                "--validate_at", "100000", "--num_workers", "1",
+                "--resident_data",
+                "--resident_hbm_budget_gib", "0.0001",
+                "--checkpoint_dir", str(tmp_path / "c"),
+                "--sample_folder", str(tmp_path / "s"),
+                "--channel", "16", "--n_res_block", "1",
+                "--n_res_channel", "8", "--embed_dim", "8",
+                "--n_embed", "32",
+            ])
