@@ -115,12 +115,17 @@ def vq_stats(
     matmul over the one-hot assignment matrix — MXU-friendly, mirroring
     `flatten.T @ embed_onehot` (reference models/vqvae_conv3d_latent.py:60-61).
     """
-    onehot = jax.nn.one_hot(indices, n_embed, dtype=jnp.float32)
-    counts = jnp.sum(onehot, axis=0)
+    # the one-hot matmul runs in the INPUT dtype (bf16 on TPU): one-hot
+    # values are exact in any float dtype and the accumulation stays f32
+    # via preferred_element_type, so this halves the matmul's HBM traffic
+    # with no statistical change beyond the bf16 rounding the activations
+    # already carry (round-3 cast everything to f32 first)
+    onehot = jax.nn.one_hot(indices, n_embed, dtype=flat.dtype)
+    counts = jnp.sum(onehot.astype(jnp.float32), axis=0)
     sums = jnp.dot(
-        flat.astype(jnp.float32).T, onehot, preferred_element_type=jnp.float32
+        flat.T, onehot, preferred_element_type=jnp.float32
     )
-    return counts, sums
+    return counts, sums.astype(jnp.float32)
 
 
 def vq_ema_update(
