@@ -225,7 +225,8 @@ def bench_resident(batch: int = 16, spc: int = 1):
     )
 
 
-def bench_profile(batch: int = 16, hw: int = HW, remat: bool = False):
+def bench_profile(batch: int = 16, hw: int = HW, remat: bool = False,
+                  remat_scope: str = "all", remat_lpips: bool = False):
     """Roofline at the operating point (--mode profile): AOT-compile the
     SAME b16 train step the headline measures, pull XLA's cost analysis
     (FLOPs + HBM bytes accessed), time it, and print one JSON line with
@@ -245,6 +246,7 @@ def bench_profile(batch: int = 16, hw: int = HW, remat: bool = False):
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=on_tpu,
         remat=remat,
+        remat_scope=remat_scope,
     )
     k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
     gt = jax.random.uniform(k1, (b, T, hw, hw, 3), minval=-1, maxval=1)
@@ -256,6 +258,8 @@ def bench_profile(batch: int = 16, hw: int = HW, remat: bool = False):
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     lpips_apply = lambda v, a, c: lpips_model.apply(v, a, c)
+    if remat_lpips:
+        lpips_apply = jax.checkpoint(lpips_apply)
     step = make_train_step(model, lpips_apply=lpips_apply, donate=False)
 
     compiled = jax.jit(step).lower(state, batch_d, lpips_vars).compile()
@@ -629,7 +633,7 @@ def bench_swap_session(frames_per_call: int = 1):
 
 def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
          no_pallas: bool = False, remat_scope: str = "all",
-         frames: int = None):
+         frames: int = None, remat_lpips: bool = False):
     """The headline metric. batch_clips=16 is the measured best per-chip
     operating point on a v5e (BENCHMARKS.md round-3 sweep: 386 b1 ->
     441 b4 -> 464 b8 -> 620 b16 -> 528 b32 f/s; the larger folded frame
@@ -671,6 +675,11 @@ def main(batch_clips: int = 16, remat: bool = False, hw: int = HW,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
+    if remat_lpips:
+        # rematerialize the VGG towers: the 512px memory lever (the
+        # towers' full-resolution activations dominate the backward's
+        # footprint there); a small throughput loss at 256px
+        lpips_apply = jax.checkpoint(lpips_apply)
 
     train_step = make_train_step(
         model, lpips_apply=lpips_apply, donate=False
@@ -751,6 +760,9 @@ if __name__ == "__main__":
                     default="all",
                     help="step mode with --remat: submodule scope "
                          "('decoder' = recompute only the full-res tail)")
+    ap.add_argument("--remat_lpips", action="store_true",
+                    help="step mode: rematerialize the LPIPS VGG towers "
+                         "(the 512px memory lever)")
     ap.add_argument("--frames", type=int, default=None,
                     help="step mode: clip length T (default 8)")
     ap.add_argument("--hw", type=int, default=HW,
@@ -762,7 +774,8 @@ if __name__ == "__main__":
     if mode == "step":
         main(batch_clips=cli.batch if cli.batch else 16, remat=cli.remat,
              hw=cli.hw, no_pallas=cli.no_pallas,
-             remat_scope=cli.remat_scope, frames=cli.frames)
+             remat_scope=cli.remat_scope, frames=cli.frames,
+             remat_lpips=cli.remat_lpips)
     elif mode == "multi":
         bench_multi()
     elif mode == "stream":
@@ -777,6 +790,8 @@ if __name__ == "__main__":
     elif mode == "e2e_resident":
         bench_resident(batch=cli.batch or 16, spc=max(1, cli.scan))
     elif mode == "profile":
-        bench_profile(batch=cli.batch or 16, hw=cli.hw, remat=cli.remat)
+        bench_profile(batch=cli.batch or 16, hw=cli.hw, remat=cli.remat,
+                      remat_scope=cli.remat_scope,
+                      remat_lpips=cli.remat_lpips)
     else:
         bench_e2e(device_pipeline=(mode == "e2e"), batch=cli.batch or 1)

@@ -36,6 +36,13 @@ def add_model_flags(p) -> None:
                         "'decoder' keeps encoder activations and "
                         "recomputes only the full-resolution decode tail "
                         "- the cheaper trade at 512px+")
+    g.add_argument("--remat_lpips", action="store_true",
+                   help="rematerialize the LPIPS VGG towers in the "
+                        "backward. A throughput LOSS at 256px (the "
+                        "recompute outweighs the saved traffic) but the "
+                        "memory lever that unlocks larger batches at "
+                        "512px, where the towers' full-resolution "
+                        "activations dominate HBM")
 
 
 def add_curation_flags(p) -> None:

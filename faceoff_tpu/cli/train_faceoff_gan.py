@@ -309,6 +309,8 @@ def main(argv=None):
     if args.perceptual or args.gan == "vqgan":
         lpips_vars = fd_lpips_vars
         lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
+        if getattr(args, "remat_lpips", False):
+            lpips_apply = jax.checkpoint(lpips_apply)
 
     ckpt = CheckpointManager(args.checkpoint_dir)
 

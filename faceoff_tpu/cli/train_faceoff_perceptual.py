@@ -73,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize enc/dec activations in the backward "
                         "(less HBM traffic, more recompute); checkpoints "
                         "are interchangeable with remat off")
+    p.add_argument("--remat_scope", choices=["all", "decoder", "encoder"],
+                   default="all",
+                   help="with --remat: which submodules recompute "
+                        "('decoder' = only the full-resolution decode "
+                        "tail; the cheaper trade at 512px+)")
+    p.add_argument("--remat_lpips", action="store_true",
+                   help="rematerialize the LPIPS VGG towers in the "
+                        "backward — the memory lever that unlocks larger "
+                        "batches at 512px (a small throughput loss at "
+                        "256px)")
     p.add_argument("--device_pipeline", action="store_true",
                    help="run hull/perturb/composite on the accelerator "
                         "(host workers only decode JPEGs)")
@@ -146,6 +156,7 @@ def build_everything(args):
             n_embed=args.n_embed,
             commitment_beta=args.commitment_beta,
             remat=args.remat,
+            remat_scope=args.remat_scope,
         ),
         data=config_lib.DataConfig(
             data_root=args.data_root,
@@ -191,6 +202,7 @@ def build_everything(args):
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=cfg.model.use_pallas_vq and on_tpu,
         remat=cfg.model.remat,
+        remat_scope=cfg.model.remat_scope,
     )
 
     train_ds = TemporalAlignmentDataset(
@@ -298,6 +310,8 @@ def build_everything(args):
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
     )
     lpips_apply = lambda v, a, b: lpips_model.apply(v, a, b)
+    if args.remat_lpips:
+        lpips_apply = jax.checkpoint(lpips_apply)
 
     step_kwargs = dict(
         latent_loss_weight=cfg.train.latent_loss_weight,

@@ -35,6 +35,9 @@ class ModelConfig:
     # backward-pass rematerialization of enc/dec activations (HBM traffic
     # vs recompute); pure execution-plan change, checkpoint-compatible
     remat: bool = False
+    # which submodules --remat recomputes: 'all', 'decoder' (full-res
+    # decode tail only), or 'encoder'
+    remat_scope: str = "all"
     temporal_postnet_layers: int = 3  # Conv3D stack depth per level
     temporal_kernel: int = 3
     use_pallas_vq: bool = True

@@ -119,3 +119,44 @@ class TestShardedTraining:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
             )
+
+
+def test_remat_lpips_grad_parity():
+    """jax.checkpoint around lpips_apply (the --remat_lpips flag) is a pure
+    execution-plan change: identical loss and gradients, so the 512px
+    memory lever cannot alter training math."""
+    from faceoff_tpu.models.lpips import init_lpips
+
+    model = tiny_model()
+    batch = make_batch(jax.random.key(0), hw=64)
+    lpips_model, lpips_vars = init_lpips(
+        jax.random.key(2), image_size=64, dtype=jnp.float32
+    )
+    state = create_train_state(
+        model, jax.random.key(1), batch["input"], lr=1e-3
+    )
+
+    plain = lambda v, a, b: lpips_model.apply(v, a, b)
+    step0 = make_train_step(model, lpips_apply=plain, donate=False)
+    step1 = make_train_step(
+        model, lpips_apply=jax.checkpoint(plain), donate=False
+    )
+
+    s0, m0 = step0(state, batch, lpips_vars)
+    s1, m1 = step1(state, batch, lpips_vars)
+
+    np.testing.assert_allclose(
+        float(m0["loss"]), float(m1["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m0["perceptual"]), float(m1["perceptual"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s0.params),
+        jax.tree_util.tree_leaves(s1.params),
+    ):
+        # recompute changes XLA fusion order, so allow float-accumulation
+        # noise (observed: 1/2048 elements off by ~2e-6 on CPU)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )

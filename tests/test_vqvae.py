@@ -179,10 +179,12 @@ def test_revive_codes_restores_dead_entries():
     )
 
 
-def test_remat_parity():
-    """remat=True is a pure execution-plan change: identical param
-    structure, outputs, and gradients (so checkpoints are interchangeable
-    and the trainer's --remat flag cannot alter training math)."""
+@pytest.mark.parametrize("scope", ["all", "decoder", "encoder"])
+def test_remat_parity(scope):
+    """remat=True is a pure execution-plan change at EVERY remat_scope:
+    identical param structure, outputs, and gradients (so checkpoints are
+    interchangeable and the trainer's --remat/--remat_scope flags cannot
+    alter training math)."""
     import jax
     import numpy as np
 
@@ -191,7 +193,7 @@ def test_remat_parity():
     x = jax.random.uniform(
         jax.random.key(0), (1, 4, 32, 32, 6), minval=-1, maxval=1
     )
-    m0, m1 = VQVAE(**kw), VQVAE(remat=True, **kw)
+    m0, m1 = VQVAE(**kw), VQVAE(remat=True, remat_scope=scope, **kw)
     v0 = m0.init(jax.random.key(1), x, train=False)
     v1 = m1.init(jax.random.key(1), x, train=False)
     assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
